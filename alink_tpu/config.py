@@ -1,0 +1,155 @@
+"""Configuration dataclasses mirroring the reference's flag systems.
+
+The reference configures each driver with TF flags
+(``code/ALINK.py:37-62``, ``code/ALINK_MTP.py:47-72``,
+``code/existing_al.py:29-41``).  Knob names are kept 1:1 so experiments
+transfer directly; hard-coded module constants (``IMAGERES``/``FEATURERES``,
+``ALINK.py:28-33``; ``GlobalConstants``, ``ALINK_MTP.py:36-43``) become
+explicit fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ALinkConfig:
+    """A-LINK / A2-LINK loop configuration (reference: code/ALINK.py:37-62).
+
+    Defaults match the reference driver flag defaults exactly.
+    """
+
+    # Paths (reference: ALINK.py:37-42)
+    data_dir_prefix: str = "DFW_Data/"
+    train_images_dir: str = "Training_data"
+    test_images_dir: str = "Testing_data"
+    out_model: str = "models/postALINK"
+    ensemble_basepath: str = "models/ensemble"
+    disguised_basemodel: str = "models/disguisedModel"
+
+    # Noise bank, comma-separated in the reference (ALINK.py:43).
+    noise: Sequence[str] = (
+        "gaussian",
+        "saltpepper",
+        "poisson",
+        "speckle",
+        "adversarial",
+    )
+
+    # Training schedule (ALINK.py:45-52)
+    ft_epochs: int = 3
+    batch_size: int = 16
+    dig_epochs: int = 40
+    undig_epochs: int = 60
+    batch_send: int = 64
+    mixture_ratio: int = 2
+    alink_bs: int = 16
+    num_ensemble_models: int = 1
+
+    # Selection knobs (ALINK.py:54-57)
+    active_ratio: float = 1.0
+    split_ratio: float = 0.5
+    disparity_ratio: float = 0.25
+    eps: float = 0.05
+
+    # Behaviour toggles (ALINK.py:59-62)
+    augment: bool = False
+    refine_models: bool = False
+    train_disguised_model: bool = False
+    blind_strategy: bool = False
+
+    # Geometry (module constants at ALINK.py:28-32)
+    image_res: tuple[int, int] = (224, 224)
+    feature_res: int = 2048
+
+    # TPU-native additions (no reference counterpart; SURVEY.md section 7):
+    seed: int = 42  # reference seeds TF with 42 (ALINK.py:19)
+    mesh_shape: tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
+    dtype: str = "bfloat16"  # compute dtype for backbones
+
+    def __post_init__(self):
+        if not (0.0 <= self.split_ratio <= 1.0):  # ALINK.py:74
+            raise ValueError("split_ratio must be in [0, 1]")
+        if not (0.0 <= self.disparity_ratio <= 1.0):  # ALINK.py:75
+            raise ValueError("disparity_ratio must be in [0, 1]")
+        if not (0.0 <= self.eps < 0.5):  # ALINK.py:76
+            raise ValueError("eps must be in [0, 0.5)")
+
+
+@dataclasses.dataclass(frozen=True)
+class MTPConfig:
+    """Multi-PIE cross-resolution variant (reference: code/ALINK_MTP.py:47-72).
+
+    The domain gap here is resolution: a 224x224 teacher and a low-res
+    (default 48x48) student, instead of plain vs. disguised faces.
+    """
+
+    data_dir_prefix: str = "MultiPieSplits/split1/train"
+    test_dir: str = "MultiPieSplits/split1/test"
+    out_model: str = "MTP_models/postALINK"
+    ensemble_basepath: str = "MTP_models/ensemble"
+    lowres_basemodel: str = "MTP_models/lowresModel"
+    noise: Sequence[str] = ("adversarial",)  # ALINK_MTP.py:53
+
+    low_res: int = 48  # ALINK_MTP.py:55 ("lowRes")
+    ft_epochs: int = 3
+    batch_size: int = 16
+    lowres_epochs: int = 10
+    highres_epochs: int = 5
+    batch_send: int = 32
+    mixture_ratio: int = 1
+    alink_bs: int = 8
+    num_ensemble_models: int = 1
+
+    active_ratio: float = 1.0
+    split_ratio: float = 0.5
+    disparity_ratio: float = 0.25
+    eps: float = 0.1  # ALINK_MTP.py:68 (differs from the DFW driver's 0.05)
+
+    augment: bool = False
+    refine_models: bool = False
+    blind_strategy: bool = False
+
+    # GlobalConstants (ALINK_MTP.py:36-43)
+    image_res: tuple[int, int] = (224, 224)
+    feature_res: int = 2048
+    normal_res: tuple[int, int] = (150, 150)
+
+    seed: int = 42
+    mesh_shape: tuple[int, ...] = (-1,)
+    dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        if self.low_res > self.normal_res[0]:  # ALINK_MTP.py:32
+            raise ValueError("low_res must be <= normal_res")
+        if not (0.0 <= self.split_ratio <= 1.0):
+            raise ValueError("split_ratio must be in [0, 1]")
+        if not (0.0 <= self.disparity_ratio <= 1.0):
+            raise ValueError("disparity_ratio must be in [0, 1]")
+        if not (0.0 <= self.eps < 0.5):
+            raise ValueError("eps must be in [0, 0.5)")
+
+
+@dataclasses.dataclass(frozen=True)
+class ExistingALConfig:
+    """Classical active-learning baseline (reference: code/existing_al.py:29-41)."""
+
+    data_dir_prefix: str = "DFW/DFW_Data/"
+    train_images_dir: str = "Training_data"
+    model_path: str = "WACV_models/active"
+    out_model: str = "WACV_models/post_active"
+    query_strategy: str = "uncertainty_sampling"  # | margin_sampling | entropy_sampling
+
+    epochs: int = 3
+    batch_size: int = 512
+    split_ratio: float = 0.3
+    active_ratio: float = 1.0
+
+    image_res: tuple[int, int] = (224, 224)
+    feature_res: int = 2048
+
+    seed: int = 42
+    mesh_shape: tuple[int, ...] = (-1,)
+    dtype: str = "bfloat16"

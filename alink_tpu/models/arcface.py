@@ -1,0 +1,104 @@
+"""ArcFace LResNet100E-II embedder (reference: code/face_model.py).
+
+The reference wraps an MXNet checkpoint of InsightFace's LResNet100E-II,
+truncated at ``fc1_output`` (code/face_model.py:28-41), runs it at batch=1
+(:39) and L2-normalises the 512-d embedding (:92).  This module rebuilds the
+topology TPU-first:
+
+- "improved residual" (IR) units:  BN - Conv3x3 - BN - PReLU - Conv3x3(s) -
+  BN, with a Conv1x1(s)+BN shortcut on dimension change;
+- stem:  Conv3x3/1 (64) - BN - PReLU  on 112x112 input;
+- stages of (3, 13, 30, 3) units at widths (64, 128, 256, 512), stride 2 at
+  each stage entry -> 7x7x512;
+- output head "E":  BN - Flatten - Dense(512) - BN  (the fc1 layer);
+- embeddings are L2-normalised (face_model.py:92).
+
+Batched, bfloat16, jit'd — the batch=1 limitation of the reference
+(BASELINE.md "Efficiency baseline") is gone by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from alink_tpu.models.resnet import _FrozenBN
+
+
+class _PReLU(nn.Module):
+    """Channel-wise PReLU (MXNet default for LResNet)."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],), jnp.float32
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class _IRUnit(nn.Module):
+    """Improved-residual unit of LResNetE (BN-first variant)."""
+
+    filters: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.filters
+        project = self.stride != 1 or x.shape[-1] != f
+        y = _FrozenBN(dtype=self.dtype)(x)
+        y = nn.Conv(f, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = _FrozenBN(dtype=self.dtype)(y)
+        y = _PReLU(dtype=self.dtype)(y)
+        y = nn.Conv(f, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = _FrozenBN(dtype=self.dtype)(y)
+        if project:
+            shortcut = nn.Conv(f, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            shortcut = _FrozenBN(dtype=self.dtype)(shortcut)
+        else:
+            shortcut = x
+        return y + shortcut
+
+
+class ArcFaceResNet100(nn.Module):
+    """LResNet100E-II to the L2-normalised 512-d fc1 embedding.
+
+    Reference behaviour being matched: code/face_model.py:86-93 (forward to
+    fc1_output, then sklearn L2 normalize).  Input is raw RGB in [0, 255] at
+    112x112 (the reference feeds raw transposed pixels, face_model.py:70-84);
+    the stem BN handles scaling.
+    """
+
+    stage_sizes: Sequence[int] = (3, 13, 30, 3)
+    stage_widths: Sequence[int] = (64, 128, 256, 512)
+    embedding_dim: int = 512
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = _FrozenBN(dtype=self.dtype)(x)
+        x = _PReLU(dtype=self.dtype)(x)
+        for blocks, width in zip(self.stage_sizes, self.stage_widths):
+            for b in range(blocks):
+                x = _IRUnit(width, stride=2 if b == 0 else 1, dtype=self.dtype)(x)
+        x = _FrozenBN(dtype=self.dtype)(x)
+        x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
+        x = nn.Dense(self.embedding_dim, dtype=jnp.float32)(x)
+        # fc1 output BN (1-D), then L2 normalisation (face_model.py:92).
+        gamma = self.param("fc1_gamma", nn.initializers.ones,
+                           (self.embedding_dim,), jnp.float32)
+        beta = self.param("fc1_beta", nn.initializers.zeros,
+                          (self.embedding_dim,), jnp.float32)
+        x = x * gamma + beta
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, 1e-12)

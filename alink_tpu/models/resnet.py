@@ -1,0 +1,120 @@
+"""VGGFace featurizer backbones (reference: code/siamese.py:187-216).
+
+``VGGFaceResNet50`` re-creates the keras_vggface ``resnet50`` topology the
+reference uses as its teacher-side featurizer: a standard ResNet50-v1
+(bottleneck blocks, stages 3-4-6-3) whose ``avg_pool`` output is flattened
+to a 2048-d feature (code/siamese.py:203-209).  ``VGGFace16`` is the VGG16
+``pool5``-flatten variant (25088-d, code/siamese.py:187-193).
+
+TPU-first notes:
+- bfloat16 conv/BN compute with float32 accumulation (MXU path);
+- inference-mode BN folds to scale+shift (running stats are params here —
+  the framework trains only the siamese heads, matching the reference which
+  uses these backbones frozen, code/siamese.py:215-216);
+- NHWC layout throughout (XLA's preferred TPU conv layout).
+
+Callers apply ``preprocess.vggface(x, version=...)`` first (v1 for VGG16,
+v2 for ResNet50 — code/siamese.py:195-197, 211-213).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class _FrozenBN(nn.Module):
+    """Inference batch-norm: y = (x - mean) / sqrt(var + eps) * gamma + beta.
+
+    Stats are parameters (no mutable state): the reference runs these
+    backbones frozen in inference mode only.
+    """
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        scale = (gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        shift = (beta - mean * gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        return x.astype(self.dtype) * scale + shift
+
+
+class _Bottleneck(nn.Module):
+    """ResNet-v1 bottleneck: 1x1 -> 3x3 -> 1x1 with identity/projection add."""
+
+    filters: int  # width of the two narrow convs; output is 4x this
+    stride: int = 1
+    project: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.filters
+        shortcut = x
+        y = nn.Conv(f, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(_FrozenBN(dtype=self.dtype)(y))
+        y = nn.Conv(f, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.relu(_FrozenBN(dtype=self.dtype)(y))
+        y = nn.Conv(4 * f, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _FrozenBN(dtype=self.dtype)(y)
+        if self.project:
+            shortcut = nn.Conv(4 * f, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            shortcut = _FrozenBN(dtype=self.dtype)(shortcut)
+        return nn.relu(y + shortcut)
+
+
+class VGGFaceResNet50(nn.Module):
+    """keras_vggface resnet50 to the flattened avg_pool (2048-d).
+
+    Reference: code/siamese.py:203-216 (RESNET50.process, predict bs=128 —
+    here the whole batch is one jit'd sharded forward pass).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for b in range(blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = _Bottleneck(w, stride=stride, project=(b == 0),
+                                dtype=self.dtype)(x)
+        # Global average pool == keras avg_pool(7x7) at 224x224 input.
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return x  # (N, 2048)
+
+
+class VGGFace16(nn.Module):
+    """keras_vggface vgg16 to the flattened pool5 (25088-d at 224x224).
+
+    Reference: code/siamese.py:187-200.
+    """
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for widths in ((64, 64), (128, 128), (256, 256, 256),
+                       (512, 512, 512), (512, 512, 512)):
+            for w in widths:
+                x = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x.reshape((x.shape[0], -1)).astype(jnp.float32)

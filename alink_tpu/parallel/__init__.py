@@ -1,0 +1,25 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no parallelism of any kind: one TF session on one GPU
+(``code/ALINK.py:22-25``), one MXNet context at batch=1
+(``code/face_model.py:39,46``), and a commented-out multiprocessing pool
+(``code/mtcnn_detector.py:61``).  Everything here is greenfield TPU design
+(SURVEY.md section 2.4): a single-controller JAX mesh whose axes are
+
+- ``data``     — batch / pair-pool sharding (DP for training & embedding,
+  row-sharding for the all-pairs score matrix),
+- ``model``    — committee/ensemble parallelism and column-sharding of the
+  pairwise grid.
+
+Collectives ride ICI via ``psum``/``all_gather`` inserted by XLA from
+sharding annotations; no NCCL/MPI analog is needed or wanted.
+"""
+
+from alink_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+)
