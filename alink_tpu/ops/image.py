@@ -1,0 +1,119 @@
+"""Batched image geometry ops (resize / affine warp / crop-resize).
+
+These replace the OpenCV call sites in the reference (SURVEY.md section 2.3):
+
+- ``resize``          — cv2.resize with INTER_LINEAR half-pixel sampling
+  (committee.py:25, helper.py:152, readDFW.py:82, readMTP.py:116-119).
+- ``affine_warp``     — cv2.warpAffine with a forward 2x3 matrix and zero
+  border (face_preprocess.py:106, mtcnn_detector.py:655): output pixels
+  sample the source at ``inv(M) @ (x, y, 1)`` with bilinear interpolation.
+- ``crop_and_resize`` — the MTCNN pad-crop-resize idiom
+  (mtcnn_detector.py:403-411, 437-445): integer box crop with zero padding
+  outside the image, bilinear-resized to a fixed stage size — expressed as
+  one gather-based sampling kernel, vmapped over a padded box budget.
+
+All functions are shape-static and batch-first (vmap/jit friendly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize(images: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) images to ``size = (h, w)``."""
+    single = images.ndim == 3
+    if single:
+        images = images[None]
+    # antialias=False matches cv2.INTER_LINEAR on downscale (cv2 does not
+    # low-pass filter; jax.image.resize does by default).
+    out = jax.image.resize(
+        images,
+        (images.shape[0], size[0], size[1], images.shape[3]),
+        method="bilinear",
+        antialias=False,
+    )
+    return out[0] if single else out
+
+
+def _bilinear_sample(
+    img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample HWC ``img`` at float coords (ys, xs) with zero border."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
+    bot = tap(y0i + 1, x0i) * (1 - wx) + tap(y0i + 1, x0i + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def affine_warp(
+    img: jnp.ndarray, M: jnp.ndarray, out_size: tuple[int, int]
+) -> jnp.ndarray:
+    """Warp one HWC image by the forward 2x3 affine ``M`` (cv2 semantics).
+
+    ``out_size = (out_h, out_w)``; output pixel (x, y) samples the source at
+    ``inv(M) @ (x, y, 1)``, zero outside (borderValue=0.0,
+    face_preprocess.py:106).
+    """
+    out_h, out_w = out_size
+    A = M[:, :2]
+    b = M[:, 2]
+    Ainv = jnp.linalg.inv(A)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=jnp.float32),
+        jnp.arange(out_w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dst = jnp.stack([xs, ys], axis=-1) - b  # (h, w, 2) in (x, y)
+    src = dst @ Ainv.T
+    return _bilinear_sample(img, src[..., 1], src[..., 0])
+
+
+def affine_warp_batch(
+    imgs: jnp.ndarray, Ms: jnp.ndarray, out_size: tuple[int, int]
+) -> jnp.ndarray:
+    """vmap of ``affine_warp`` over a batch (the reference loops per face,
+    mtcnn_detector.py:606-656)."""
+    return jax.vmap(lambda im, M: affine_warp(im, M, out_size))(imgs, Ms)
+
+
+def crop_and_resize(
+    img: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_size: tuple[int, int],
+) -> jnp.ndarray:
+    """Crop integer boxes [x1, y1, x2, y2] (inclusive, reference convention
+    width = x2 - x1 + 1) from one HWC image and resize each to ``out_size``.
+
+    Matches the MTCNN pad-crop-resize (mtcnn_detector.py:403-411): regions
+    outside the image contribute zeros.  ``boxes``: (K, 4) float; output
+    (K, out_h, out_w, C).  Uses cv2-style half-pixel sample grids so the
+    result equals "zero-pad crop then cv2.resize(INTER_LINEAR)".
+    """
+    out_h, out_w = out_size
+
+    def one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        bw = x2 - x1 + 1.0
+        bh = y2 - y1 + 1.0
+        sx = bw / out_w
+        sy = bh / out_h
+        xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5 + x1
+        ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5 + y1
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        return _bilinear_sample(img, yy, xx)
+
+    return jax.vmap(one)(boxes)

@@ -1,0 +1,96 @@
+"""Fixed-budget masked non-max suppression.
+
+Replaces the greedy Python-loop NMS of code/helper.py:8-67 with a
+shape-static kernel: boxes live in a fixed-size budget K with a validity
+mask, suppression runs as a K-step ``lax.fori_loop`` over a precomputed
+KxK IoU matrix, and the result is a keep-mask — no dynamic shapes, no host
+round-trips (SURVEY.md section 7, hard part (a)).
+
+Semantics matched to the reference:
+- areas use the inclusive-pixel convention ``(x2 - x1 + 1) * (y2 - y1 + 1)``
+  (helper.py:38);
+- candidates are visited in descending score order (helper.py:39-45 iterates
+  an ascending argsort from the back);
+- ``mode='Union'`` -> IoU; ``mode='Min'`` -> intersection / min(area)
+  (helper.py:58-61);
+- a box is suppressed when overlap with a kept higher-scoring box is
+  strictly greater than the threshold (helper.py:65).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
+    """Pairwise overlap of (K, 4) boxes [x1, y1, x2, y2], reference area
+    convention (helper.py:38-61)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    if mode == "min":
+        denom = jnp.minimum(area[:, None], area[None, :])
+    else:
+        denom = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(denom, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float,
+    mode: str = "union",
+) -> jnp.ndarray:
+    """Greedy NMS over a fixed budget.
+
+    Args:
+        boxes: (K, 4) [x1, y1, x2, y2].
+        scores: (K,) detection scores.
+        valid: (K,) bool mask of live candidates.
+        threshold: overlap threshold (suppress if overlap > threshold).
+        mode: "union" (IoU) or "min" (helper.py:58-61).
+
+    Returns:
+        (K,) bool keep-mask aligned with the input order.
+    """
+    k = boxes.shape[0]
+    neg = jnp.finfo(scores.dtype).min
+    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]  # descending
+    sboxes = boxes[order]
+    svalid = valid[order]
+    overlap = iou_matrix(sboxes, mode=mode)
+
+    def body(i, state):
+        keep, suppressed = state
+        take = svalid[i] & ~suppressed[i]
+        keep = keep.at[i].set(take)
+        row = overlap[i] > threshold
+        # Suppress only later (lower-scoring) candidates.
+        later = jnp.arange(k) > i
+        suppressed = suppressed | (take & row & later)
+        return keep, suppressed
+
+    keep_sorted, _ = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool))
+    )
+    # Scatter back to input order.
+    keep = jnp.zeros(k, bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_batch(boxes, scores, valid, threshold, mode="union"):
+    """vmap of ``nms`` over a leading batch axis."""
+    return jax.vmap(lambda b, s, v: nms(b, s, v, threshold, mode=mode))(
+        boxes, scores, valid
+    )

@@ -1,0 +1,161 @@
+"""Geometry-op tests: NMS, box decode, Umeyama, warp, crop-resize."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.ops import boxes as boxops
+from alink_tpu.ops import image as imops
+from alink_tpu.ops import nms as nmsops
+from alink_tpu.ops import umeyama as umops
+
+
+def _greedy_nms_reference(b, s, threshold, mode):
+    """Independent NumPy reimplementation of greedy NMS with the reference's
+    conventions (helper.py:8-67) used as the test oracle."""
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    area = (x2 - x1 + 1) * (y2 - y1 + 1)
+    idxs = list(np.argsort(s))
+    pick = []
+    while idxs:
+        i = idxs.pop()  # highest remaining score
+        pick.append(i)
+        rest = np.array(idxs, dtype=int)
+        if rest.size == 0:
+            break
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        inter = np.maximum(0, xx2 - xx1 + 1) * np.maximum(0, yy2 - yy1 + 1)
+        if mode == "min":
+            ov = inter / np.minimum(area[i], area[rest])
+        else:
+            ov = inter / (area[i] + area[rest] - inter)
+        idxs = [j for j, o in zip(rest, ov) if o <= threshold]
+    return sorted(pick)
+
+
+@pytest.mark.parametrize("mode", ["union", "min"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_matches_greedy_reference(mode, seed):
+    rng = np.random.default_rng(seed)
+    k = 40
+    xy = rng.uniform(0, 80, size=(k, 2))
+    wh = rng.uniform(4, 40, size=(k, 2))
+    b = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    s = rng.uniform(0, 1, size=k).astype(np.float32)
+    keep = np.asarray(
+        nmsops.nms(jnp.asarray(b), jnp.asarray(s), jnp.ones(k, bool), 0.5, mode=mode)
+    )
+    expected = _greedy_nms_reference(b, s, 0.5, mode)
+    assert sorted(np.where(keep)[0].tolist()) == expected
+
+
+def test_nms_respects_validity_mask():
+    b = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
+    s = jnp.array([0.9, 0.8])
+    keep = nmsops.nms(b, s, jnp.array([True, False]), 0.5)
+    assert bool(keep[0]) and not bool(keep[1])
+
+
+def test_generate_bbox_decode():
+    # helper.py:92-129 — stride 2, cell 12, round((2*idx+1)/scale).
+    h, w = 5, 6
+    prob = jnp.zeros((h, w)).at[2, 3].set(0.9).at[0, 0].set(0.7)
+    reg = jnp.arange(h * w * 4, dtype=jnp.float32).reshape(h, w, 4)
+    bxs, scores, regs, valid = boxops.generate_bbox(prob, reg, 0.5, 0.6, budget=8)
+    assert valid.sum() == 2
+    # Highest score first (top_k order).
+    np.testing.assert_allclose(scores[0], 0.9)
+    np.testing.assert_allclose(
+        np.asarray(bxs[0]),
+        [round((2 * 3 + 1) / 0.5), round((2 * 2 + 1) / 0.5),
+         round((2 * 3 + 1 + 12) / 0.5), round((2 * 2 + 1 + 12) / 0.5)],
+    )
+    np.testing.assert_allclose(np.asarray(regs[0]), np.asarray(reg[2, 3]))
+
+
+def test_calibrate_and_square():
+    b = jnp.array([[0.0, 0.0, 9.0, 19.0]])
+    reg = jnp.array([[0.1, 0.1, -0.1, -0.1]])
+    cal = boxops.calibrate_box(b, reg)
+    # w=10, h=20 -> [0+1, 0+2, 9-1, 19-2]
+    np.testing.assert_allclose(np.asarray(cal[0]), [1.0, 2.0, 8.0, 17.0])
+    sq = boxops.convert_to_square(b)
+    w, h = 10.0, 20.0
+    x1 = 0 + w * 0.5 - h * 0.5
+    np.testing.assert_allclose(np.asarray(sq[0]), [x1, 0.0, x1 + 19.0, 19.0])
+
+
+def test_umeyama_recovers_similarity(rng):
+    # Construct a known similarity and check recovery to machine precision.
+    theta, scale, t = 0.3, 1.7, np.array([5.0, -2.0])
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    src = np.asarray(jax.random.normal(rng, (5, 2))) * 10
+    dst = scale * src @ R.T + t
+    M = np.asarray(umops.umeyama(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(M[:, :2], scale * R, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(M[:, 2], t, rtol=1e-4, atol=1e-3)
+
+
+def test_umeyama_handles_reflection(rng):
+    # Mirrored targets must still yield a proper rotation (det > 0),
+    # matching the sign-correction branch (mtcnn_detector.py:576-581).
+    src = np.asarray(jax.random.normal(rng, (5, 2)))
+    dst = src.copy()
+    dst[:, 0] *= -1.0
+    M = np.asarray(umops.umeyama(jnp.asarray(src), jnp.asarray(dst)))
+    assert np.linalg.det(M[:, :2]) > 0
+
+
+def test_umeyama_matches_skimage_when_available():
+    skimage = pytest.importorskip("skimage.transform")
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(5, 2)) * 20 + 50
+    dst = rng.normal(size=(5, 2)) * 20 + 40
+    tf = skimage.SimilarityTransform()
+    tf.estimate(src, dst)
+    M = np.asarray(umops.umeyama(jnp.asarray(src, dtype=jnp.float32),
+                                 jnp.asarray(dst, dtype=jnp.float32)))
+    np.testing.assert_allclose(M, tf.params[:2, :], rtol=1e-3, atol=1e-3)
+
+
+def test_affine_warp_identity_and_shift():
+    img = jnp.arange(16.0).reshape(4, 4, 1)
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = imops.affine_warp(img, ident, (4, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # Shift dst = src + (1, 0): output column 0 comes from "outside" -> 0.
+    shift = jnp.array([[1.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+    out = np.asarray(imops.affine_warp(img, shift, (4, 4)))
+    np.testing.assert_allclose(out[:, 0, 0], 0.0)
+    np.testing.assert_allclose(out[:, 1:, 0], np.asarray(img)[:, :3, 0], atol=1e-5)
+
+
+def test_crop_and_resize_exact_box():
+    img = jnp.arange(36.0).reshape(6, 6, 1)
+    # Box covering rows/cols 2..3 inclusive, resized to its own size.
+    out = imops.crop_and_resize(img, jnp.array([[2.0, 2.0, 3.0, 3.0]]), (2, 2))
+    np.testing.assert_allclose(
+        np.asarray(out[0, ..., 0]), np.asarray(img[2:4, 2:4, 0]), atol=1e-5
+    )
+
+
+def test_crop_and_resize_zero_padding_outside():
+    img = jnp.ones((4, 4, 1))
+    out = np.asarray(
+        imops.crop_and_resize(img, jnp.array([[-4.0, -4.0, -1.0, -1.0]]), (4, 4))
+    )
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_resize_matches_cv2_when_available(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = np.asarray(jax.random.uniform(rng, (17, 13, 3))) * 255
+    ours = np.asarray(imops.resize(jnp.asarray(img), (8, 9)))
+    theirs = cv2.resize(img, (9, 8), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(ours, theirs, atol=0.6)
