@@ -1,0 +1,164 @@
+"""Adversarial attacks: one-pixel DE attack and FGSM, batched on device.
+
+Reference: code/attack.py + code/noise.py:153-188.  The reference attacks
+each pair serially (attack.py:94-101), re-crossing the Python<->GPU boundary
+``maxiter x popsize`` times per pair (SURVEY.md section 3.1).  Here the DE
+solver is vmapped over the pair batch, so every generation is one batched
+model forward for all pairs' whole populations.
+
+Reference semantics preserved:
+
+- search space per pixel is a flat ``[x, y, r, g, b]`` 5-tuple, bounds
+  ``(0, dim_x), (0, dim_y), (0, 256)^3`` repeated ``pixel_count`` times
+  (attack.py:65-68);
+- perturbation floors coordinates to ints and overwrites the pixel's RGB
+  (attack.py:17-27; note the reference indexes ``img[x_pos, y_pos]``, i.e.
+  the first bound runs over rows);
+- DE config from attack_all: pixel_count=40, maxiter=50, popsize=250 ->
+  ``popmul = max(1, popsize // (5 * pixel_count))``, recombination=1,
+  atol=-1, polish off (attack.py:71, 81-83, 91);
+- untargeted-as-targeted flip: the attack *maximises* the probability of
+  ``1 - argmax(m1_label)`` by minimising the target-class probability
+  (attack.py:37-42, 96-97);
+- early stop per pair when the model's argmax already differs from the
+  target class (attack_success, attack.py:44-57);
+- the pair is attacked as one vertically concatenated 2HxW image and split
+  back into halves (noise.py:178-188).
+
+``fgsm`` is the gradient-sign attack listed in BASELINE.json's scope —
+free in JAX since the model is differentiable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.ops.de import differential_evolution
+
+
+def perturb_image(xs: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Apply flat ``[x, y, r, g, b] * k`` perturbation vectors to one image.
+
+    Reference: attack.py:5-29.  ``xs``: (..., 5k) float; coordinates are
+    floored to ints; each pixel's RGB is overwritten.  Returns images with
+    ``xs``'s leading shape prepended.
+    """
+    lead = xs.shape[:-1]
+    flat = xs.reshape((-1, xs.shape[-1])).astype(jnp.int32)
+    n, k5 = flat.shape
+    k = k5 // 5
+    px = flat.reshape(n, k, 5)
+    rows = jnp.clip(px[:, :, 0], 0, img.shape[0] - 1)
+    cols = jnp.clip(px[:, :, 1], 0, img.shape[1] - 1)
+    rgb = px[:, :, 2:5].astype(img.dtype)
+
+    def one(r, c, v):
+        return img.at[r, c].set(v)
+
+    out = jax.vmap(one)(rows, cols, rgb)
+    return out.reshape(lead + img.shape)
+
+
+def one_pixel_attack_pairs(
+    predict_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    target_labels: jnp.ndarray,
+    key: jax.Array,
+    *,
+    pixel_count: int = 40,
+    maxiter: int = 50,
+    popsize: int = 250,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """A2-LINK's adversarial channel over a whole pair batch.
+
+    Args:
+        predict_fn: ``(left, right) -> (N, 2) probabilities`` — the end-to-end
+            model (featurizer + siamese head), i.e. PredictionWrappedModel
+            (noise.py:153-168).
+        left/right: (N, H, W, C) raw pair halves.
+        target_labels: (N, 2) one-hot M1 labels; the attack drives the model
+            toward class ``argmax`` of these (ALINK.py:163-164 passes
+            m1_labels and attack_all flips to target the *other* class's
+            misclassification, attack.py:96-97).
+        key: PRNG key.
+
+    Returns the perturbed (left, right) halves, same shapes as the inputs.
+    """
+    n, h, w, c = left.shape
+    dim_x, dim_y = 2 * h, w  # concatenated pair image (noise.py:181-183)
+    bounds = jnp.tile(
+        jnp.asarray(
+            [[0, dim_x], [0, dim_y], [0, 256], [0, 256], [0, 256]], jnp.float32
+        ),
+        (pixel_count, 1),
+    )
+    popmul = max(1, popsize // (5 * pixel_count))  # attack.py:71
+
+    concat = jnp.concatenate([left, right], axis=1)  # (N, 2H, W, C)
+    target_class = jnp.argmax(target_labels, axis=-1)  # attack.py:96
+
+    def predict_concat(imgs: jnp.ndarray) -> jnp.ndarray:
+        """Split stacked pair images and run the end-to-end model
+        (noise.py:158-168)."""
+        lh = imgs[:, :h]
+        rh = imgs[:, h:]
+        return predict_fn(lh, rh)
+
+    def attack_one(img, tclass, k):
+        def fitness(params):  # (M, 5k) -> (M,)
+            imgs = perturb_image(params, img)
+            probs = predict_concat(imgs)
+            # attack_all passes target=argmax(m1_label) (attack.py:96-97),
+            # making predict_classes minimise 1 - p[target] (attack.py:42):
+            # the attack drives M2 toward M1's label.
+            return 1.0 - probs[:, tclass]
+
+        def success(x):  # attack_success (attack.py:44-57), targeted branch
+            probs = predict_concat(perturb_image(x[None], img))[0]
+            return jnp.argmax(probs) == tclass
+
+        result = differential_evolution(
+            fitness,
+            bounds,
+            k,
+            maxiter=maxiter,
+            popsize=popmul,
+            recombination=1.0,
+            atol=-1.0,
+            early_stop_fn=success,
+        )
+        return perturb_image(result.x[None], img)[0]
+
+    perturbed = jax.vmap(attack_one)(concat, target_class, jax.random.split(key, n))
+    return perturbed[:, :h], perturbed[:, h:]
+
+
+@partial(jax.jit, static_argnames=("predict_fn", "loss"))
+def fgsm_pairs(
+    predict_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    target_labels: jnp.ndarray,
+    epsilon: float = 2.0,
+    loss: str = "ce",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast gradient-sign attack on a pair batch (BASELINE.json scope).
+
+    Standard untargeted FGSM: both halves move by ``epsilon * sign(grad)``
+    of the cross-entropy against ``target_labels``, *increasing* the loss
+    (pushing the model away from those labels), in raw pixel units
+    ([0, 255] images).
+    """
+
+    def xent(lh, rh):
+        probs = predict_fn(lh, rh)
+        eps = 1e-12
+        return -jnp.mean(jnp.sum(target_labels * jnp.log(probs + eps), axis=-1))
+
+    gl, gr = jax.grad(xent, argnums=(0, 1))(left, right)
+    return left + epsilon * jnp.sign(gl), right + epsilon * jnp.sign(gr)
