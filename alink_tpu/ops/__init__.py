@@ -21,4 +21,14 @@ library call in the reference (SURVEY.md section 2.3):
   (code/helpers.py:114-141).
 """
 
-from alink_tpu.ops import attack, boxes, de, image, nms, noise, umeyama  # noqa: F401
+from alink_tpu.ops import (  # noqa: F401
+    attack,
+    augment,
+    boxes,
+    de,
+    image,
+    nms,
+    noise,
+    pairwise,
+    umeyama,
+)

@@ -38,9 +38,15 @@ def resize(images: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
 
 
 def _bilinear_sample(
-    img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+    img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, border: str = "zero"
 ) -> jnp.ndarray:
-    """Sample HWC ``img`` at float coords (ys, xs) with zero border."""
+    """Sample HWC ``img`` at float coords (ys, xs).
+
+    ``border="zero"`` matches cv2 borderValue=0 (face_preprocess.py:106);
+    ``border="nearest"`` clamps to the edge pixel like the keras
+    fill_mode='nearest' used by the reference augmentation
+    (code/helpers.py:127-138).
+    """
     h, w = img.shape[0], img.shape[1]
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -50,8 +56,10 @@ def _bilinear_sample(
     x0i = x0.astype(jnp.int32)
 
     def tap(yi, xi):
-        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        if border == "nearest":
+            return v
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         return jnp.where(inside[..., None], v, 0.0)
 
     top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
@@ -60,13 +68,14 @@ def _bilinear_sample(
 
 
 def affine_warp(
-    img: jnp.ndarray, M: jnp.ndarray, out_size: tuple[int, int]
+    img: jnp.ndarray, M: jnp.ndarray, out_size: tuple[int, int],
+    border: str = "zero",
 ) -> jnp.ndarray:
     """Warp one HWC image by the forward 2x3 affine ``M`` (cv2 semantics).
 
     ``out_size = (out_h, out_w)``; output pixel (x, y) samples the source at
     ``inv(M) @ (x, y, 1)``, zero outside (borderValue=0.0,
-    face_preprocess.py:106).
+    face_preprocess.py:106) or edge-clamped with ``border="nearest"``.
     """
     out_h, out_w = out_size
     A = M[:, :2]
@@ -79,7 +88,7 @@ def affine_warp(
     )
     dst = jnp.stack([xs, ys], axis=-1) - b  # (h, w, 2) in (x, y)
     src = dst @ Ainv.T
-    return _bilinear_sample(img, src[..., 1], src[..., 0])
+    return _bilinear_sample(img, src[..., 1], src[..., 0], border=border)
 
 
 def affine_warp_batch(
