@@ -293,7 +293,7 @@ def score_matrix_sharded(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None), P(MODEL_AXIS, None)),
         out_specs=P(DATA_AXIS, MODEL_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, rows, cols)[:n, :m]
 
