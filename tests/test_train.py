@@ -1,0 +1,192 @@
+"""Tests for the training subsystem (train/ vs code/siamese.py:35-125)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu import train as T
+from alink_tpu.models import SiameseHead, SmallRes
+from alink_tpu.train.losses import (
+    accuracy,
+    binary_crossentropy,
+    class_weights_from_labels,
+    one_hot,
+)
+
+D = 64
+
+
+def _toy_pairs(key, n):
+    """Genuine pairs are near-duplicates; imposters are far apart."""
+    kl, kd = jax.random.split(key)
+    base = jax.random.normal(kl, (n, D))
+    y = jax.random.bernoulli(kd, 0.5, (n,)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n, D))
+    right = jnp.where(y[:, None] == 1, base + 0.1 * noise, base + 2.0 * noise)
+    return base, right, y
+
+
+@pytest.fixture(scope="module")
+def state():
+    head = SiameseHead(dtype=jnp.float32)
+    return T.create_train_state(
+        head, jax.random.PRNGKey(0), jnp.zeros((2, D)), jnp.zeros((2, D))
+    )
+
+
+class TestLosses:
+    def test_bce_matches_keras_formula(self):
+        logits = jnp.array([[2.0, -1.0], [0.5, 0.5]])
+        targets = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+        p = jax.nn.softmax(logits, axis=-1)
+        expected = float(
+            np.mean(
+                -np.mean(
+                    targets * np.log(p) + (1 - targets) * np.log(1 - p),
+                    axis=-1,
+                )
+            )
+        )
+        got = float(binary_crossentropy(logits, targets))
+        assert abs(got - expected) < 1e-5
+
+    def test_bce_equals_categorical_ce_for_two_classes(self):
+        """For a 2-class softmax with one-hot targets the (1-y)log(1-p)
+        terms mirror the y log p terms, so Keras BCE == categorical CE —
+        the reference's 'binary_crossentropy' on a softmax pair
+        (siamese.py:35) is ordinary CE in disguise."""
+        logits = jnp.array([[2.0, -1.0]])
+        targets = jnp.array([[1.0, 0.0]])
+        cce = -jax.nn.log_softmax(logits)[0, 0]
+        bce = binary_crossentropy(logits, targets)
+        assert abs(float(cce) - float(bce)) < 1e-5
+
+    def test_class_weights(self):
+        """w_c = (N / count_c) / (w_0 + w_1) per siamese.py:95-98."""
+        labels = jnp.array([1, 1, 1, 0])
+        w = class_weights_from_labels(labels)
+        w1, w0 = 4 / 3, 4 / 1
+        scale = w0 + w1
+        np.testing.assert_allclose(
+            np.asarray(w), [w1 / scale] * 3 + [w0 / scale], rtol=1e-6
+        )
+
+    def test_weighted_loss_normalisation(self):
+        logits = jnp.zeros((4, 2))
+        targets = one_hot(jnp.array([0, 1, 0, 1]))
+        unweighted = binary_crossentropy(logits, targets)
+        weighted = binary_crossentropy(
+            logits, targets, jnp.array([0.5, 0.5, 0.5, 0.5])
+        )
+        # Uniform weights must reduce to the unweighted mean.
+        assert abs(float(unweighted) - float(weighted)) < 1e-6
+
+    def test_accuracy(self):
+        logits = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+        targets = one_hot(jnp.array([0, 1, 1]))
+        assert abs(float(accuracy(logits, targets)) - 2 / 3) < 1e-6
+
+
+class TestTrainSteps:
+    def test_train_step_reduces_loss(self, state):
+        left, right, y = _toy_pairs(jax.random.PRNGKey(1), 128)
+        st = state
+        first = None
+        for i in range(30):
+            st, loss, _ = T.train_step(st, left, right, y,
+                                       jax.random.PRNGKey(i))
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first
+
+    def test_eval_step_unweighted(self, state):
+        left, right, y = _toy_pairs(jax.random.PRNGKey(2), 64)
+        loss, acc = T.eval_step(state, left, right, y)
+        assert loss.shape == ()
+        assert 0.0 <= float(acc) <= 1.0
+
+
+class TestFit:
+    def test_fit_learns_and_logs(self, state):
+        left, right, y = _toy_pairs(jax.random.PRNGKey(3), 512)
+        st, logs = T.fit(state, left, right, y, epochs=5, batch_size=64,
+                         key=jax.random.PRNGKey(4))
+        assert logs[-1].val_acc > 0.8
+        assert logs[0].learning_rate == 1.0
+
+    def test_early_stop_fires(self, state):
+        """With patience 5 and min_delta 0.1, a flat val loss stops at 7."""
+        left, right, y = _toy_pairs(jax.random.PRNGKey(5), 64)
+        # Tiny LR so val loss never improves by > 0.1.
+        st = state.with_learning_rate(1e-6)
+        st, logs = T.fit(st, left, right, y, epochs=30, batch_size=32,
+                         key=jax.random.PRNGKey(6))
+        assert len(logs) <= 8  # 1 best epoch + patience 5 + off-by-one
+
+    def test_plateau_reduces_lr(self, state):
+        left, right, y = _toy_pairs(jax.random.PRNGKey(7), 64)
+        st = state.with_learning_rate(1e-6)
+        st, logs = T.fit(st, left, right, y, epochs=30, batch_size=32,
+                         key=jax.random.PRNGKey(8))
+        # ReduceLROnPlateau(factor=.2) fired at least once before early stop.
+        assert logs[-1].learning_rate < 1e-6 or len(logs) < 8
+
+
+class TestCustomTrain:
+    def test_generator_loop(self, state):
+        def gen():
+            k = jax.random.PRNGKey(9)
+            while True:
+                k, kk = jax.random.split(k)
+                ll, rr, yy = _toy_pairs(kk, 64)
+                yield (ll, rr), yy
+
+        st, logs = T.custom_train(
+            state, gen(), epochs=2, batch_size=64,
+            key=jax.random.PRNGKey(10), n_steps=64 * 30,
+        )
+        assert logs[-1].train_acc > 0.75
+        assert logs[-1].val_loss > 0.0
+
+
+class TestSmallResTraining:
+    def test_dropout_rng_threads(self):
+        model = SmallRes(feature_dim=32, dtype=jnp.float32)
+        st = T.create_train_state(
+            model, jax.random.PRNGKey(0),
+            jnp.zeros((2, 24, 24, 3)), jnp.zeros((2, 24, 24, 3)),
+        )
+        left = jax.random.uniform(jax.random.PRNGKey(1), (8, 24, 24, 3))
+        right = jax.random.uniform(jax.random.PRNGKey(2), (8, 24, 24, 3))
+        y = jnp.arange(8) % 2
+        st, loss, acc = T.train_step(st, left, right, y, jax.random.PRNGKey(3))
+        assert jnp.isfinite(loss)
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_maybe_restore(self, state, tmp_path):
+        p = os.path.join(tmp_path, "ck")
+        T.save(p, state.params)
+        restored, ok = T.maybe_restore(p, state.params)
+        assert ok
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+        _, ok2 = T.maybe_restore(p + "_missing", state.params)
+        assert not ok2
+
+
+def test_test_accuracy_matches_definition(state):
+    feats = jax.random.normal(jax.random.PRNGKey(11), (10, D))
+    labels = jnp.arange(10) % 3
+    acc = T.test_accuracy(state, feats, labels)
+    from alink_tpu.ops.pairwise import score_matrix_xla
+
+    scores = score_matrix_xla(state.params, feats, feats)
+    pred = np.asarray(scores) > 0.5
+    same = np.asarray(labels)[:, None] == np.asarray(labels)[None, :]
+    assert abs(acc - float(np.mean(pred == same))) < 1e-6
