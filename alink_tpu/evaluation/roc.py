@@ -101,7 +101,10 @@ def roc_stats(tpr: np.ndarray, fpr: np.ndarray) -> EvalStats:
     fpr = np.asarray(fpr, np.float64)
     fnr = 1.0 - tpr
     eer = float(fpr[np.nanargmin(np.abs(fnr - fpr))])
-    order = np.argsort(fpr)
+    # Lexicographic (fpr, then tpr) ordering keeps vertical jumps of the
+    # step curve zero-width so trapezoid integration uses the attained TPR
+    # at each FPR (sklearn.metrics.auc needs the same monotone ordering).
+    order = np.lexsort((tpr, fpr))
     auc = float(np.trapezoid(tpr[order], fpr[order]))
     return EvalStats(
         auc=auc,
