@@ -1,0 +1,140 @@
+"""The M1 committee as a stacked-params vmapped ensemble.
+
+Reference: ``code/committee.py`` — ``Bagging`` holds a Python list of Keras
+models and a list of noise objects; ``predict`` averages a Python loop of
+``model.predict`` calls (committee.py:13-20) and ``attackModel`` loops the
+noise bank over the batch, resizing each result with cv2
+(committee.py:28-37).
+
+Here the ensemble lives as **one** parameter pytree with a leading member
+axis; prediction is a single ``vmap`` forward (one XLA program for the whole
+committee, shardable over the mesh's ``model`` axis), and the noise fan-out
+is one batched op per channel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.ops import attack as attack_ops
+from alink_tpu.ops import noise as noise_ops
+from alink_tpu.ops.image import resize
+
+
+def stack_params(param_trees: Sequence) -> object:
+    """Stack E per-member pytrees into one tree with a leading member axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *param_trees)
+
+
+def unstack_params(stacked, index: int):
+    """Extract member ``index`` (for per-member checkpointing/training)."""
+    return jax.tree.map(lambda x: x[index], stacked)
+
+
+class Committee:
+    """Ensemble of siamese verification heads (Bagging, committee.py:7-37).
+
+    Args:
+        head: the shared flax module (e.g. ``SiameseHead``).
+        stacked_params: params pytree with a leading ensemble axis E.
+        noise_names: the noise bank, e.g. ("gaussian", ..., "adversarial")
+            (ALINK.py:43, ALINK_arc.py:41).
+    """
+
+    def __init__(self, head, stacked_params, noise_names: Sequence[str] = ()):
+        self.head = head
+        self.params = stacked_params
+        self.noise_names = tuple(noise_names)
+
+    @classmethod
+    def from_param_list(cls, head, param_trees, noise_names=()):
+        return cls(head, stack_params(param_trees), noise_names)
+
+    @property
+    def num_members(self) -> int:
+        return jax.tree.leaves(self.params)[0].shape[0]
+
+    def member_params(self, index: int):
+        return unstack_params(self.params, index)
+
+    def predict(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        """Mean ensemble probabilities (committee.py:13-20): (N, 2)."""
+        return _committee_predict(self.head, self.params, left, right)
+
+    def member_probs(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        """(E, N, 2) per-member probabilities (Committee.vote_proba path,
+        learners.py:340-370)."""
+        return _member_probs(self.head, self.params, left, right)
+
+    def attack_model(
+        self,
+        key: jax.Array,
+        left: jnp.ndarray,
+        right: jnp.ndarray,
+        target_res: tuple[int, int],
+        m1_labels: jnp.ndarray | None = None,
+        adversarial_predict: Callable | None = None,
+        adversarial_kwargs: dict | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Fan the noise bank over a raw pair batch (attackModel,
+        committee.py:28-37): returns (K, N, H', W', C) left/right stacks
+        resized to ``target_res``, channels ordered as ``noise_names``.
+
+        The adversarial channel (noise.py:171-188) needs the student model:
+        pass its end-to-end ``(left, right) -> (N, 2)`` probability fn as
+        ``adversarial_predict`` and the committee's one-hot ``m1_labels``
+        (ALINK.py:163-164).
+        """
+        plain_names = tuple(n for n in self.noise_names
+                            if n != "adversarial")
+        outs_l, outs_r = [], []
+        if plain_names:
+            kb, key = jax.random.split(key)
+            ls, rs = noise_ops.apply_noise_bank(plain_names, kb, left, right)
+            for i in range(len(plain_names)):
+                outs_l.append(ls[i])
+                outs_r.append(rs[i])
+        by_name = dict(zip(plain_names, range(len(plain_names))))
+        ordered_l, ordered_r = [], []
+        for name in self.noise_names:
+            if name == "adversarial":
+                if adversarial_predict is None or m1_labels is None:
+                    raise ValueError(
+                        "adversarial channel requires adversarial_predict "
+                        "and m1_labels"
+                    )
+                ka, key = jax.random.split(key)
+                al, ar = attack_ops.one_pixel_attack_pairs(
+                    adversarial_predict, left, right, m1_labels, ka,
+                    **(adversarial_kwargs or {}),
+                )
+                ordered_l.append(al)
+                ordered_r.append(ar)
+            else:
+                ordered_l.append(outs_l[by_name[name]])
+                ordered_r.append(outs_r[by_name[name]])
+        stacked_l = jnp.stack(ordered_l)
+        stacked_r = jnp.stack(ordered_r)
+        k, n = stacked_l.shape[0], stacked_l.shape[1]
+        flat_l = stacked_l.reshape((k * n,) + stacked_l.shape[2:])
+        flat_r = stacked_r.reshape((k * n,) + stacked_r.shape[2:])
+        rl = resize(flat_l, target_res)
+        rr = resize(flat_r, target_res)
+        return (
+            rl.reshape((k, n) + rl.shape[1:]),
+            rr.reshape((k, n) + rr.shape[1:]),
+        )
+
+
+@partial(jax.jit, static_argnames=("head",))
+def _member_probs(head, stacked_params, left, right):
+    return jax.vmap(lambda p: head.apply(p, left, right))(stacked_params)
+
+
+@partial(jax.jit, static_argnames=("head",))
+def _committee_predict(head, stacked_params, left, right):
+    return jnp.mean(_member_probs(head, stacked_params, left, right), axis=0)

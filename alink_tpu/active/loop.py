@@ -1,0 +1,324 @@
+"""The A-LINK / A2-LINK framework loop.
+
+Reference: ``code/ALINK.py:145-259`` (identically ``ALINK_arc.py:142-254``;
+cross-resolution variant ``ALINK_MTP.py:153-263``).  Per slab of
+``alink_bs`` unlabeled persons:
+
+1. build the all-pairs mini-batch (plain x disguised + disguised x
+   disguised, ``readDFW.createMiniBatch``) — its ground-truth labels act as
+   the pseudo-oracle (ALINK.py:152-153);
+2. featurize and get committee (M1) predictions (ALINK.py:157-160);
+3. perturb the raw pairs with every noise channel, targeted by M1's labels
+   (ALINK.py:163-164);
+4. student (M2) predictions per channel (ALINK.py:167-170);
+5. disparity selection, all-noise intersection, oracle gate
+   (``active.selection``);
+6. queue equal per-noise shares of the queried pairs (ALINK.py:216-225 —
+   implemented without the reference's index slip, per SURVEY.md section 7);
+7. when the queue reaches ``batch_send``: mix in ``mixture_ratio`` replay
+   batches (and optionally augmented clean pairs), finetune M2
+   (ALINK.py:227-253), flush;
+8. stop once ACTIVE_COUNT >= active_ratio * UN_SIZE (ALINK.py:255-259).
+
+Architecture: the host orchestrates; every numbered step is a fixed-shape
+device computation.  Loop state (M2 params + counters + queue) is an
+explicit checkpointable object — the reference loses all of it on
+interruption (SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alink_tpu import train as T
+from alink_tpu.active.committee import Committee
+from alink_tpu.active.selection import select_queries
+from alink_tpu.config import ALinkConfig
+from alink_tpu.data.loader import PersonStacks
+from alink_tpu.data.pairs import all_pairs_minibatch
+from alink_tpu.ops.augment import augment_pairs
+from alink_tpu.ops.image import resize
+from alink_tpu.ops.pairwise import pair_scores
+
+
+@dataclasses.dataclass
+class ALinkState:
+    """Checkpointable loop state (greenfield; SURVEY.md section 5.4)."""
+
+    m2_state: T.TrainState
+    active_count: int = 0
+    un_size: int = 0
+    pool_cursor: int = 0  # person index into the unlabeled pool
+    buffer_left: np.ndarray | None = None
+    buffer_right: np.ndarray | None = None
+    buffer_y: np.ndarray | None = None
+
+    def buffer_size(self) -> int:
+        return 0 if self.buffer_y is None else int(len(self.buffer_y))
+
+    def append_buffer(self, left, right, y):
+        if self.buffer_size() == 0:
+            self.buffer_left = np.asarray(left)
+            self.buffer_right = np.asarray(right)
+            self.buffer_y = np.asarray(y)
+        else:
+            self.buffer_left = np.concatenate([self.buffer_left, left])
+            self.buffer_right = np.concatenate([self.buffer_right, right])
+            self.buffer_y = np.concatenate([self.buffer_y, y])
+
+    def flush_buffer(self):
+        self.buffer_left = self.buffer_right = self.buffer_y = None
+
+
+class IterationLog(NamedTuple):
+    iteration: int
+    pairs: int
+    selected: int
+    queried: int
+    active_count: int
+    un_size: int
+    finetuned: bool
+
+
+class ALinkLoop:
+    """Host orchestrator of the A-LINK loop.
+
+    Args:
+        config: knobs mirroring the reference flags (config.ALinkConfig).
+        featurize: batched ``(N, H, W, C) -> (N, D)`` embedding fn for M1
+            (the ``conversionModel.process`` role, ALINK.py:157).
+        committee: the M1 ensemble over feature pairs.
+        m2_state: the student's TrainState (feature-space SiameseHead, or
+            SmallRes for the raw-pixel MTP student).
+        student_featurize: the student's input transform on noisy images.
+            ``"same"`` (default) reuses ``featurize`` — the DFW drivers,
+            where M1 and M2 share the backbone (ALINK.py:167).  ``None``
+            feeds raw pixels resized to ``student_res`` — the MTP
+            cross-resolution student (ALINK_MTP.py:164-165, 222).
+        student_res: resolution noisy pairs are resized to before the
+            student sees them (IMAGERES in ALINK.py:164; lowRes in MTP).
+            Defaults to ``config.image_res``.
+        replay_gen: iterator of ``((left, right), y)`` clean batches in the
+            *student's input space* for forgetting mitigation (the
+            ``dataGen`` mixed in at ALINK.py:233-239).
+        adversarial_predict: end-to-end raw-pair probability fn for the
+            one-pixel attack channel (noise.py:153-168); required when
+            "adversarial" is in the noise bank.
+    """
+
+    def __init__(
+        self,
+        config: ALinkConfig,
+        *,
+        featurize: Callable,
+        committee: Committee,
+        m2_state: T.TrainState,
+        student_featurize: Callable | str | None = "same",
+        student_res: tuple[int, int] | None = None,
+        replay_gen: Iterator | None = None,
+        adversarial_predict: Callable | None = None,
+        adversarial_kwargs: dict | None = None,
+        key: jax.Array | None = None,
+    ):
+        self.config = config
+        self.featurize = featurize
+        self.student_featurize = (
+            featurize if student_featurize == "same" else student_featurize
+        )
+        self.student_res = (
+            tuple(student_res) if student_res is not None
+            else tuple(config.image_res)
+        )
+        self.committee = committee
+        self.replay_gen = replay_gen
+        self.adversarial_predict = adversarial_predict
+        self.adversarial_kwargs = adversarial_kwargs
+        self.key = key if key is not None else jax.random.PRNGKey(config.seed)
+        self.state = ALinkState(m2_state=m2_state)
+        self.logs: list[IterationLog] = []
+
+    # -- helpers ---------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _student_inputs(self, left_imgs, right_imgs):
+        """Images (already at student_res) -> student input space."""
+        if self.student_featurize is None:
+            return jnp.asarray(left_imgs), jnp.asarray(right_imgs)
+        return (
+            self.student_featurize(jnp.asarray(left_imgs)),
+            self.student_featurize(jnp.asarray(right_imgs)),
+        )
+
+    def _student_probs(self, left_in, right_in) -> jnp.ndarray:
+        """M2 P(genuine) per pair (disguisedFacesModel.predict[:, 1])."""
+        if self.student_featurize is None:
+            m2 = self.state.m2_state
+            logits = m2.logits_fn(m2.params, left_in, right_in)
+            return jax.nn.softmax(logits, axis=-1)[:, 1]
+        return pair_scores(self.state.m2_state.params, left_in, right_in)
+
+    # -- one slab --------------------------------------------------------
+
+    def run_iteration(
+        self,
+        plain_part: PersonStacks,
+        dig_part: PersonStacks,
+    ) -> IterationLog:
+        cfg = self.config
+        left_raw, right_raw, y = all_pairs_minibatch(plain_part, dig_part)
+        n = len(y)
+        self.state.un_size += n  # ALINK.py:154
+
+        # M1 on clean features (ALINK.py:157-160).
+        fl = self.featurize(jnp.asarray(left_raw))
+        fr = self.featurize(jnp.asarray(right_raw))
+        m1_probs2 = self.committee.predict(fl, fr)
+        m1_genuine = m1_probs2[:, 1]
+        m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
+
+        # Noise fan-out on raw pixels, resized to the student's resolution
+        # (ALINK.py:163-164; ALINK_MTP.py:164-165).
+        noisy_l, noisy_r = self.committee.attack_model(
+            self._next_key(),
+            jnp.asarray(left_raw),
+            jnp.asarray(right_raw),
+            self.student_res,
+            m1_labels=m1_labels,
+            adversarial_predict=self.adversarial_predict,
+            adversarial_kwargs=self.adversarial_kwargs,
+        )
+        k_noise = noisy_l.shape[0]
+
+        # Student under every channel (ALINK.py:167-170).
+        student_inputs = []
+        probs = []
+        for k in range(k_noise):
+            li, ri = self._student_inputs(noisy_l[k], noisy_r[k])
+            student_inputs.append((li, ri))
+            probs.append(self._student_probs(li, ri))
+        student_probs = jnp.stack(probs)  # (K, N)
+
+        sel = select_queries(
+            student_probs,
+            m1_genuine,
+            jnp.asarray(y, jnp.float32),
+            disparity_ratio=cfg.disparity_ratio,
+            blind_strategy=cfg.blind_strategy,
+            eps=cfg.eps,
+        )
+        self.state.active_count += int(sel.oracle_charges)
+
+        queried = np.flatnonzero(np.asarray(sel.queried))
+        finetuned = False
+        if queried.size:
+            pseudo = np.asarray(sel.pseudo_labels)[queried]
+            # Equal per-noise shares of the queried set (ALINK.py:216-225,
+            # with consistent indexing).
+            mp = queried.size // k_noise
+            if mp:
+                for k in range(k_noise):
+                    share = queried[k * mp:(k + 1) * mp]
+                    li, ri = student_inputs[k]
+                    self.state.append_buffer(
+                        np.asarray(li)[share], np.asarray(ri)[share],
+                        pseudo[k * mp:(k + 1) * mp],
+                    )
+            if self.state.buffer_size() >= cfg.batch_send:
+                finetuned = True
+                clean_l = resize(jnp.asarray(left_raw), self.student_res)
+                clean_r = resize(jnp.asarray(right_raw), self.student_res)
+                sfl, sfr = self._student_inputs(clean_l, clean_r)
+                self._finetune(left_raw, right_raw, sfl, sfr, queried, pseudo)
+
+        log = IterationLog(
+            iteration=len(self.logs),
+            pairs=n,
+            selected=int(np.asarray(sel.selected).sum()),
+            queried=int(queried.size),
+            active_count=self.state.active_count,
+            un_size=self.state.un_size,
+            finetuned=finetuned,
+        )
+        self.logs.append(log)
+        return log
+
+    def _finetune(self, left_raw, right_raw, sfl, sfr, queried, pseudo):
+        """Buffer + clean/augment + replay mix, then finetune M2
+        (ALINK.py:227-253).  ``sfl``/``sfr`` are the clean pairs already in
+        the student's input space."""
+        cfg = self.config
+        parts_l = [self.state.buffer_left]
+        parts_r = [self.state.buffer_right]
+        parts_y = [self.state.buffer_y]
+
+        if cfg.augment:
+            # Augment the raw queried pairs, then map into student space
+            # (ALINK.py:241-245 augments pixels and re-featurizes).
+            al, ar, ay = augment_pairs(
+                self._next_key(),
+                jnp.asarray(left_raw)[queried],
+                jnp.asarray(right_raw)[queried],
+                jax.nn.one_hot(jnp.asarray(pseudo), 2),
+            )
+            ali, ari = self._student_inputs(
+                resize(al, self.student_res), resize(ar, self.student_res)
+            )
+            parts_l.append(np.asarray(ali))
+            parts_r.append(np.asarray(ari))
+            parts_y.append(np.argmax(np.asarray(ay), axis=-1))
+        else:
+            # Clean (un-noised) versions of the queried pairs
+            # (ALINK.py:247-250).
+            parts_l.append(np.asarray(sfl)[queried])
+            parts_r.append(np.asarray(sfr)[queried])
+            parts_y.append(pseudo)
+
+        if self.replay_gen is not None:
+            for _ in range(cfg.mixture_ratio):
+                (rl, rr), ry = next(self.replay_gen)
+                parts_l.append(np.asarray(rl))
+                parts_r.append(np.asarray(rr))
+                parts_y.append(np.asarray(ry).reshape(-1))
+
+        big_l = np.concatenate(parts_l)
+        big_r = np.concatenate(parts_r)
+        big_y = np.concatenate(parts_y)
+        self.state.m2_state, _ = T.fit(
+            self.state.m2_state,
+            jnp.asarray(big_l),
+            jnp.asarray(big_r),
+            jnp.asarray(big_y, jnp.int32),
+            epochs=cfg.ft_epochs,
+            batch_size=16,  # ALINK.py:251 hard-codes bs 16 for finetune
+            key=self._next_key(),
+        )
+        self.state.flush_buffer()
+
+    # -- full run --------------------------------------------------------
+
+    def run(
+        self,
+        plain_raw: PersonStacks,
+        dig_post: PersonStacks,
+    ) -> ALinkState:
+        """The framework loop over the unlabeled pool (ALINK.py:145-259)."""
+        cfg = self.config
+        p = dig_post.num_people
+        while self.state.pool_cursor < p:
+            ii = self.state.pool_cursor
+            sl = list(range(ii, min(ii + cfg.alink_bs, p)))
+            self.run_iteration(plain_raw.take_people(sl),
+                               dig_post.take_people(sl))
+            self.state.pool_cursor = ii + cfg.alink_bs
+            if int(cfg.active_ratio * self.state.un_size) <= \
+                    self.state.active_count:  # ALINK.py:257-259
+                break
+        return self.state
