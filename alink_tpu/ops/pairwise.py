@@ -127,33 +127,38 @@ def _fused_kernel(rows_ref, cols_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                   wo_ref, bo_ref, out_ref, *, d_chunk: int):
     """One (TI, TJ) score tile, whole head fused in VMEM.
 
-    The first (and dominant) contraction ``|l - r| @ W1`` is chunked over
-    the feature axis so the on-chip |l - r| tile stays ~TI*TJ*d_chunk
-    elements regardless of D.
+    Mosaic constraint: no >2-D reshapes — the tile is computed one row at a
+    time: row i against the whole (TJ, D) column tile is a sequence of 2-D
+    ``(TJ, dc) @ (dc, H1)`` MXU matmuls accumulated over feature chunks,
+    keeping the on-chip |l - r| slab at TJ * d_chunk elements.
     """
     ti, d = rows_ref.shape
     tj = cols_ref.shape[0]
     nchunks = d // d_chunk
 
-    def chunk(c, acc):
-        sl = pl.ds(c * d_chunk, d_chunk)
-        l = rows_ref[:, sl]  # (TI, dc)
-        r = cols_ref[:, sl]  # (TJ, dc)
-        x = jnp.abs(l[:, None, :] - r[None, :, :]).reshape(ti * tj, d_chunk)
-        return acc + jnp.dot(x, w1_ref[sl, :],
-                             preferred_element_type=jnp.float32)
+    # Static unroll over tile rows: Mosaic supports neither >2-D reshapes
+    # nor dynamic sublane indexing, and static slices make every op a plain
+    # 2-D VPU broadcast or MXU matmul.
+    for i in range(ti):
+        def chunk(c, acc, i=i):
+            sl = pl.ds(c * d_chunk, d_chunk)
+            l = rows_ref[i:i + 1, sl]            # (1, dc), static row
+            r = cols_ref[:, sl]                  # (TJ, dc)
+            x = jnp.abs(l - r)                   # broadcast over TJ
+            return acc + jnp.dot(x, w1_ref[sl, :],
+                                 preferred_element_type=jnp.float32)
 
-    h = jax.lax.fori_loop(
-        0, nchunks, chunk,
-        jnp.zeros((ti * tj, w1_ref.shape[1]), jnp.float32),
-    )
-    h = jnp.maximum(h + b1_ref[0, :], 0.0).astype(rows_ref.dtype)
-    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b2_ref[0, :], 0.0).astype(rows_ref.dtype)
-    logits = jnp.dot(h, wo_ref[:], preferred_element_type=jnp.float32)
-    logits = logits + bo_ref[0, :]
-    score = jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
-    out_ref[:] = score.reshape(ti, tj)
+        h = jax.lax.fori_loop(
+            0, nchunks, chunk,
+            jnp.zeros((tj, w1_ref.shape[1]), jnp.float32),
+        )
+        h = jnp.maximum(h + b1_ref[0, :], 0.0).astype(rows_ref.dtype)
+        h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b2_ref[0, :], 0.0).astype(rows_ref.dtype)
+        logits = jnp.dot(h, wo_ref[:], preferred_element_type=jnp.float32)
+        logits = logits + bo_ref[0, :]
+        score = jax.nn.sigmoid(logits[:, 1] - logits[:, 0])  # (TJ,)
+        out_ref[i:i + 1, :] = score[None, :]
 
 
 @partial(jax.jit,
@@ -163,9 +168,9 @@ def score_matrix_pallas(
     rows: jnp.ndarray,
     cols: jnp.ndarray,
     *,
-    row_block: int = 16,
-    col_block: int = 128,
-    d_chunk: int = 512,
+    row_block: int = 8,
+    col_block: int = 512,
+    d_chunk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused TPU kernel for the all-pairs scorer.
@@ -223,7 +228,7 @@ def score_matrix_pallas(
         in_specs=[
             pl.BlockSpec((row_block, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((col_block, dp), lambda i, j: (0, j),
+            pl.BlockSpec((col_block, dp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dp, w1p.shape[1]), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w1p.shape[1]), const, memory_space=pltpu.VMEM),
@@ -258,9 +263,15 @@ def score_matrix_pallas(
 _PALLAS_MAX_D = 4096
 
 
-def score_matrix(params, rows, cols, **kwargs) -> jnp.ndarray:
-    """All-pairs P(genuine): pallas-fused on TPU, blocked XLA elsewhere."""
-    on_tpu = jax.default_backend() == "tpu"
+def score_matrix(params, rows, cols, *, on_tpu: bool | None = None,
+                 **kwargs) -> jnp.ndarray:
+    """All-pairs P(genuine): pallas-fused on TPU, blocked XLA elsewhere.
+
+    ``on_tpu`` overrides backend detection (needed when running on a CPU
+    mesh while the default backend is a TPU, e.g. multi-chip dry runs).
+    """
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
     layers = head_weights(params)
     if on_tpu and len(layers) == 3 and rows.shape[1] <= _PALLAS_MAX_D:
         return score_matrix_pallas(params, rows, cols, **kwargs)
@@ -287,9 +298,10 @@ def score_matrix_sharded(
     n, m = rows.shape[0], cols.shape[0]
     rows = _pad_to(rows, nd)
     cols = _pad_to(cols, nm)
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
 
     fn = shard_map(
-        lambda p, r, c: score_matrix(p, r, c, **kwargs),
+        lambda p, r, c: score_matrix(p, r, c, on_tpu=on_tpu, **kwargs),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None), P(MODEL_AXIS, None)),
         out_specs=P(DATA_AXIS, MODEL_AXIS),
