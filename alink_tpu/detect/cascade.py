@@ -1,0 +1,215 @@
+"""Fixed-budget MTCNN cascade + 5-landmark alignment.
+
+Reference: ``code/mtcnn_detector.py:307-513`` (detect_face) and
+``:591-658`` (extract_image_chips).  Semantics preserved per stage:
+
+1. **Pyramid + P-Net** (mtcnn_detector.py:337-394): scales
+   ``12/minsize * factor^i`` while the scaled short side >= 12
+   (factor 0.709); per scale, P-Net probabilities are decoded to boxes with
+   stride 2 / cell 12 (helper.py:92-129) above threshold[0], NMS 0.5 per
+   scale, then global NMS 0.7, first-stage regression refinement
+   (mtcnn_detector.py:381-390) and squaring.
+2. **R-Net** (mtcnn_detector.py:401-430): 24x24 crops, threshold[1],
+   NMS 0.7, calibration, squaring.
+3. **O-Net** (mtcnn_detector.py:435-470): 48x48 crops, threshold[2],
+   landmarks decoded from the *pre-calibration* squares
+   (mtcnn_detector.py:457-464), then calibration and NMS 0.7 'Min'.
+4. **Alignment** (mtcnn_detector.py:591-658 / face_preprocess.py:46-111):
+   Umeyama similarity transform from the 5 landmarks to the canonical
+   ArcFace template, batched affine warp to 112x112.
+
+TPU-first: the pyramid scale set is computed statically from the input
+resolution; every stage carries a fixed candidate budget + validity mask
+(no dynamic shapes anywhere); the whole cascade jits as one program and
+vmaps over the image batch.  The reference's commented-out multiprocessing
+pyramid fan-out (mtcnn_detector.py:61,360-364) is moot — all scales run
+back-to-back on device in one launch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.models import preprocess
+from alink_tpu.models.mtcnn import ONet, PNet, RNet
+from alink_tpu.ops.boxes import (
+    calibrate_box,
+    convert_to_square,
+    generate_bbox,
+    refine_with_reg,
+    select_topk,
+)
+from alink_tpu.ops.image import affine_warp, crop_and_resize, resize
+from alink_tpu.ops.nms import nms
+from alink_tpu.ops.umeyama import arcface_template, umeyama
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Cascade knobs (reference ctor defaults, mtcnn_detector.py:20-50)."""
+
+    min_size: int = 20          # minsize (mtcnn_detector.py:337)
+    factor: float = 0.709       # pyramid factor (:347)
+    thresholds: tuple[float, float, float] = (0.6, 0.7, 0.8)  # (:28)
+    stage1_scale_budget: int = 128   # candidates decoded per pyramid level
+    stage1_budget: int = 256         # after global NMS
+    stage2_budget: int = 128
+    stage3_budget: int = 64
+    output_size: tuple[int, int] = (112, 112)
+
+
+class MTCNNParams(NamedTuple):
+    pnet: dict
+    rnet: dict
+    onet: dict
+
+
+class Detections(NamedTuple):
+    """Padded per-image detections."""
+
+    boxes: jnp.ndarray      # (N, K, 4) [x1, y1, x2, y2]
+    scores: jnp.ndarray     # (N, K)
+    landmarks: jnp.ndarray  # (N, K, 5, 2) in (x, y)
+    valid: jnp.ndarray      # (N, K) bool
+
+
+_PNET = PNet()
+_RNET = RNet()
+_ONET = ONet()
+
+
+def init_cascade_params(key: jax.Array) -> MTCNNParams:
+    """Random-init cascade params (pretrained weights load via orbax)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return MTCNNParams(
+        pnet=_PNET.init(k1, jnp.zeros((1, 12, 12, 3))),
+        rnet=_RNET.init(k2, jnp.zeros((1, 24, 24, 3))),
+        onet=_ONET.init(k3, jnp.zeros((1, 48, 48, 3))),
+    )
+
+
+def pyramid_scales(h: int, w: int, min_size: int, factor: float
+                   ) -> list[float]:
+    """Static pyramid scale list (mtcnn_detector.py:337-347)."""
+    minl = min(h, w)
+    base = 12.0 / min_size
+    scales = []
+    m = minl * base
+    scale = base
+    while m >= 12.0:
+        scales.append(scale)
+        scale *= factor
+        m *= factor
+    return scales
+
+
+def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
+    """Pyramid P-Net pass -> (boxes, scores, valid) in a fixed budget."""
+    scales = pyramid_scales(h, w, cfg.min_size, cfg.factor)
+    boxes_l, scores_l, regs_l, valid_l = [], [], [], []
+    for scale in scales:
+        sh, sw = int(h * scale), int(w * scale)
+        if sh < 12 or sw < 12:
+            continue
+        scaled = resize(img, (sh, sw))
+        prob, reg = _PNET.apply(params.pnet,
+                                preprocess.mtcnn(scaled)[None])
+        b, s, r, v = generate_bbox(
+            prob[0, ..., 1], reg[0], scale, cfg.thresholds[0],
+            cfg.stage1_scale_budget,
+        )
+        keep = nms(b, s, v, 0.5)  # per-scale NMS (helper.py:161-164)
+        boxes_l.append(b)
+        scores_l.append(s)
+        regs_l.append(r)
+        valid_l.append(v & keep)
+    boxes = jnp.concatenate(boxes_l)
+    scores = jnp.concatenate(scores_l)
+    regs = jnp.concatenate(regs_l)
+    valid = jnp.concatenate(valid_l)
+    # Global NMS 0.7 Union (mtcnn_detector.py:378).
+    valid = valid & nms(boxes, scores, valid, 0.7)
+    # First-stage regression + squaring (mtcnn_detector.py:381-394).
+    boxes = refine_with_reg(boxes, regs)
+    boxes = convert_to_square(boxes)
+    boxes = jnp.round(boxes)
+    return select_topk(boxes, scores, valid, cfg.stage1_budget)
+
+
+def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
+    crops = crop_and_resize(img, boxes, (24, 24))
+    prob, reg = _RNET.apply(params.rnet, preprocess.mtcnn(crops))
+    scores = prob[:, 1]
+    valid = valid & (scores > cfg.thresholds[1])  # (:418)
+    valid = valid & nms(boxes, scores, valid, 0.7)  # (:424)
+    boxes = calibrate_box(boxes, reg)  # (:426)
+    boxes = convert_to_square(boxes)   # (:428)
+    boxes = jnp.round(boxes)
+    return select_topk(boxes, scores, valid, cfg.stage2_budget)
+
+
+def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
+    crops = crop_and_resize(img, boxes, (48, 48))
+    prob, reg, lmk = _ONET.apply(params.onet, preprocess.mtcnn(crops))
+    scores = prob[:, 1]
+    valid = valid & (scores > cfg.thresholds[2])  # (:451)
+    # Landmarks decode from the pre-calibration squares
+    # (mtcnn_detector.py:457-464): x = x1 + lx * w, y = y1 + ly * h.
+    bw = (boxes[:, 2] - boxes[:, 0] + 1.0)[:, None]
+    bh = (boxes[:, 3] - boxes[:, 1] + 1.0)[:, None]
+    lx = boxes[:, 0:1] + lmk[:, 0:5] * bw
+    ly = boxes[:, 1:2] + lmk[:, 5:10] * bh
+    landmarks = jnp.stack([lx, ly], axis=-1)  # (K, 5, 2)
+    boxes = calibrate_box(boxes, reg)  # (:466)
+    valid = valid & nms(boxes, scores, valid, 0.7, mode="min")  # (:468)
+    boxes, scores, valid, landmarks = select_topk(
+        boxes, scores, valid, cfg.stage3_budget, landmarks
+    )
+    return boxes, scores, valid, landmarks
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_faces(
+    params: MTCNNParams,
+    images: jnp.ndarray,
+    cfg: CascadeConfig = CascadeConfig(),
+) -> Detections:
+    """Run the full cascade over an (N, H, W, 3) raw-RGB batch."""
+    h, w = images.shape[1], images.shape[2]
+
+    def single(img):
+        b, s, v = _stage1(params, img, cfg, h, w)
+        b, s, v = _stage2(params, img, b, s, v, cfg)
+        return _stage3(params, img, b, s, v, cfg)
+
+    boxes, scores, valid, landmarks = jax.vmap(single)(images)
+    return Detections(boxes=boxes, scores=scores, landmarks=landmarks,
+                      valid=valid)
+
+
+@partial(jax.jit, static_argnames=("output_size",))
+def align_faces(
+    images: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    output_size: tuple[int, int] = (112, 112),
+) -> jnp.ndarray:
+    """Warp each detected face to the canonical ArcFace template.
+
+    Reference: face_preprocess.preprocess (face_preprocess.py:46-111) /
+    extract_image_chips (mtcnn_detector.py:591-658).  ``images``:
+    (N, H, W, 3); ``landmarks``: (N, K, 5, 2) -> chips (N, K, oh, ow, 3).
+    """
+    template = arcface_template(output_size)
+
+    def chip(img, lmk):
+        M = umeyama(lmk, template)
+        return affine_warp(img, M, output_size)
+
+    return jax.vmap(lambda img, lmks: jax.vmap(lambda l: chip(img, l))(lmks))(
+        images, landmarks
+    )

@@ -1,0 +1,83 @@
+"""FaceModel parity API: detect -> align -> embed.
+
+Reference: ``code/face_model.py`` — wraps an MXNet ArcFace checkpoint
+(``get_model``, :28-41, batch pinned to 1) with ``get_input`` (detection
+disabled in the shipped code, :71-82 — raw transpose only) and
+``get_feature`` (forward + L2 normalise, :86-93).
+
+Here the full pipeline is live and batched: MTCNN cascade detection,
+template alignment, and the jit'd ArcFace embedder — the reference's
+batch=1 constraint (BASELINE.md) is gone by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.detect.cascade import (
+    CascadeConfig,
+    Detections,
+    MTCNNParams,
+    align_faces,
+    detect_faces,
+)
+from alink_tpu.models.arcface import ArcFaceResNet100
+
+
+class FaceModel:
+    """Batched detect->align->embed pipeline (code/face_model.py parity).
+
+    Args:
+        embed_params: ArcFaceResNet100 params.
+        cascade_params: MTCNN cascade params, or None to skip detection
+            (the reference ships with detection disabled,
+            face_model.py:71-82 — ``get_input`` then just normalises
+            pre-cropped images).
+    """
+
+    def __init__(
+        self,
+        embed_params,
+        cascade_params: MTCNNParams | None = None,
+        cfg: CascadeConfig = CascadeConfig(),
+    ):
+        self.embedder = ArcFaceResNet100()
+        self.embed_params = embed_params
+        self.cascade_params = cascade_params
+        self.cfg = cfg
+
+    def detect(self, images: jnp.ndarray) -> Detections:
+        if self.cascade_params is None:
+            raise ValueError("no cascade params loaded (detection disabled)")
+        return detect_faces(self.cascade_params, images, self.cfg)
+
+    def get_input(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Aligned 112x112 face chips.
+
+        With detection enabled: best-face detect + align per image
+        (the full pipeline of face_model.py:71-82's commented-out path).
+        Without: bilinear-resize passthrough (the live reference behaviour,
+        which feeds pre-cropped faces straight through, :83-84).
+        """
+        if self.cascade_params is None:
+            from alink_tpu.ops.image import resize
+
+            return resize(images, self.cfg.output_size)
+        det = self.detect(images)
+        chips = align_faces(images, det.landmarks, self.cfg.output_size)
+        # Best-scoring valid face per image (face_model get_input keeps the
+        # single detected face).
+        neg = jnp.finfo(det.scores.dtype).min
+        best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
+        return jax.vmap(lambda c, b: c[b])(chips, best)
+
+    def get_feature(self, aligned: jnp.ndarray) -> jnp.ndarray:
+        """L2-normalised 512-d embeddings for aligned chips
+        (face_model.py:86-93), batched in one jit'd forward."""
+        return self.embedder.apply(self.embed_params, aligned)
+
+    def process(self, images: jnp.ndarray) -> jnp.ndarray:
+        """End-to-end pipeline: the ``siamese.ArcFace.process`` role
+        (code/siamese.py:232-234) without the per-image Python loop."""
+        return self.get_feature(self.get_input(images))

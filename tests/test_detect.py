@@ -1,0 +1,149 @@
+"""Tests for the MTCNN cascade pipeline (detect/ vs code/mtcnn_detector.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.detect import (
+    CascadeConfig,
+    FaceModel,
+    align_faces,
+    detect_faces,
+    init_cascade_params,
+    pyramid_scales,
+)
+from alink_tpu.models.arcface import ArcFaceResNet100
+from alink_tpu.ops.umeyama import arcface_template
+
+
+class TestPyramid:
+    def test_scale_recursion(self):
+        """scales = 12/minsize * factor^i while short side * scale >= 12
+        (mtcnn_detector.py:337-347)."""
+        scales = pyramid_scales(120, 160, min_size=20, factor=0.709)
+        assert scales[0] == pytest.approx(12 / 20)
+        for a, b in zip(scales, scales[1:]):
+            assert b == pytest.approx(a * 0.709)
+        assert 120 * scales[-1] >= 12
+        assert 120 * scales[-1] * 0.709 < 12
+
+    def test_small_image_single_scale(self):
+        scales = pyramid_scales(24, 24, min_size=20, factor=0.709)
+        # 24 * 0.6 = 14.4 >= 12 but 14.4 * 0.709 = 10.2 < 12 -> one level.
+        assert len(scales) == 1
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    return init_cascade_params(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return CascadeConfig(
+        thresholds=(0.0, 0.0, 0.0),  # random init -> accept ~everything
+        stage1_scale_budget=32,
+        stage1_budget=32,
+        stage2_budget=16,
+        stage3_budget=8,
+    )
+
+
+class TestCascade:
+    def test_shapes_and_masks(self, cascade, small_cfg):
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        det = detect_faces(cascade, images, small_cfg)
+        k = small_cfg.stage3_budget
+        assert det.boxes.shape == (2, k, 4)
+        assert det.scores.shape == (2, k)
+        assert det.landmarks.shape == (2, k, 5, 2)
+        assert det.valid.shape == (2, k)
+        assert det.valid.dtype == jnp.bool_
+
+    def test_high_threshold_rejects_all(self, cascade):
+        cfg = CascadeConfig(thresholds=(1.1, 1.1, 1.1),
+                            stage1_scale_budget=32, stage1_budget=32,
+                            stage2_budget=16, stage3_budget=8)
+        images = jax.random.uniform(jax.random.PRNGKey(2), (1, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        det = detect_faces(cascade, images, cfg)
+        assert not bool(det.valid.any())
+
+    def test_valid_boxes_are_sane(self, cascade, small_cfg):
+        images = jax.random.uniform(jax.random.PRNGKey(3), (1, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        det = detect_faces(cascade, images, small_cfg)
+        v = np.asarray(det.valid[0])
+        if v.any():
+            b = np.asarray(det.boxes[0])[v]
+            # Stage-3 boxes are post-calibration (not squared, matching
+            # mtcnn_detector.py:466); they must at least be finite and
+            # their landmarks live within the pre-calibration square.
+            assert np.isfinite(b).all()
+            assert np.isfinite(np.asarray(det.landmarks[0])[v]).all()
+
+
+class TestAlign:
+    def test_template_landmarks_give_identity_warp(self):
+        """A face whose landmarks already sit on the template must map to
+        (approximately) itself."""
+        template = np.asarray(arcface_template((112, 112)))
+        img = jax.random.uniform(jax.random.PRNGKey(4), (1, 112, 112, 3),
+                                 jnp.float32, 0, 255)
+        lmk = jnp.asarray(template)[None, None]  # (1, 1, 5, 2)
+        chips = align_faces(img, lmk, (112, 112))
+        assert chips.shape == (1, 1, 112, 112, 3)
+        # Interior pixels should be nearly unchanged.
+        np.testing.assert_allclose(
+            np.asarray(chips[0, 0, 20:90, 20:90]),
+            np.asarray(img[0, 20:90, 20:90]),
+            atol=1.0,
+        )
+
+    def test_shifted_landmarks_translate(self):
+        """Landmarks shifted +10px right mean the chip samples 10px right."""
+        template = np.asarray(arcface_template((112, 112)))
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (1, 112, 112, 3)).astype(np.float32)
+        img = jnp.asarray(base)
+        lmk = jnp.asarray(template + [10.0, 0.0])[None, None]
+        chips = align_faces(img, lmk, (112, 112))
+        np.testing.assert_allclose(
+            np.asarray(chips[0, 0, 30:80, 30:80]),
+            base[0, 30:80, 40:90],
+            atol=1.0,
+        )
+
+
+class TestFaceModel:
+    @pytest.fixture(scope="class")
+    def tiny_embedder(self):
+        model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1))
+        params = model.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 112, 112, 3)))
+        return model, params
+
+    def test_passthrough_mode(self, tiny_embedder):
+        """Detection-disabled path (face_model.py:71-84 live behaviour)."""
+        model, params = tiny_embedder
+        fm = FaceModel(params)
+        fm.embedder = model
+        images = jax.random.uniform(jax.random.PRNGKey(6), (3, 64, 64, 3),
+                                    jnp.float32, 0, 255)
+        feats = fm.process(images)
+        assert feats.shape == (3, 512)
+        norms = jnp.linalg.norm(feats, axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-4)
+
+    def test_full_pipeline(self, tiny_embedder, cascade, small_cfg):
+        model, params = tiny_embedder
+        fm = FaceModel(params, cascade, small_cfg)
+        fm.embedder = model
+        images = jax.random.uniform(jax.random.PRNGKey(7), (2, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        det = fm.detect(images)
+        assert det.boxes.shape[0] == 2
+        feats = fm.process(images)
+        assert feats.shape == (2, 512)
