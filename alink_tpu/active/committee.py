@@ -78,6 +78,7 @@ class Committee:
         target_res: tuple[int, int],
         m1_labels: jnp.ndarray | None = None,
         adversarial_predict: Callable | None = None,
+        adversarial_params=None,
         adversarial_kwargs: dict | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Fan the noise bank over a raw pair batch (attackModel,
@@ -85,9 +86,10 @@ class Committee:
         resized to ``target_res``, channels ordered as ``noise_names``.
 
         The adversarial channel (noise.py:171-188) needs the student model:
-        pass its end-to-end ``(left, right) -> (N, 2)`` probability fn as
-        ``adversarial_predict`` and the committee's one-hot ``m1_labels``
-        (ALINK.py:163-164).
+        pass its end-to-end ``(params, left, right) -> (N, 2)`` probability
+        fn as ``adversarial_predict`` (static), the live model state as
+        ``adversarial_params`` (traced), and the committee's one-hot
+        ``m1_labels`` (ALINK.py:163-164).
         """
         plain_names = tuple(n for n in self.noise_names
                             if n != "adversarial")
@@ -109,8 +111,8 @@ class Committee:
                     )
                 ka, key = jax.random.split(key)
                 al, ar = attack_ops.one_pixel_attack_pairs(
-                    adversarial_predict, left, right, m1_labels, ka,
-                    **(adversarial_kwargs or {}),
+                    adversarial_predict, adversarial_params, left, right,
+                    m1_labels, ka, **(adversarial_kwargs or {}),
                 )
                 ordered_l.append(al)
                 ordered_r.append(ar)

@@ -106,9 +106,11 @@ class ALinkLoop:
         replay_gen: iterator of ``((left, right), y)`` clean batches in the
             *student's input space* for forgetting mitigation (the
             ``dataGen`` mixed in at ALINK.py:233-239).
-        adversarial_predict: end-to-end raw-pair probability fn for the
-            one-pixel attack channel (noise.py:153-168); required when
-            "adversarial" is in the noise bank.
+        adversarial_predict: end-to-end ``(m2_params, left, right) -> (N, 2)``
+            raw-pair probability fn for the one-pixel attack channel
+            (noise.py:153-168); required when "adversarial" is in the noise
+            bank.  The loop threads the live M2 params through on every
+            iteration.
     """
 
     def __init__(
@@ -185,7 +187,9 @@ class ALinkLoop:
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
         # Noise fan-out on raw pixels, resized to the student's resolution
-        # (ALINK.py:163-164; ALINK_MTP.py:164-165).
+        # (ALINK.py:163-164; ALINK_MTP.py:164-165).  The attack targets the
+        # LIVE student params (PredictionWrappedModel holds the mutable
+        # model, noise.py:153-168).
         noisy_l, noisy_r = self.committee.attack_model(
             self._next_key(),
             jnp.asarray(left_raw),
@@ -193,6 +197,7 @@ class ALinkLoop:
             self.student_res,
             m1_labels=m1_labels,
             adversarial_predict=self.adversarial_predict,
+            adversarial_params=self.state.m2_state.params,
             adversarial_kwargs=self.adversarial_kwargs,
         )
         k_noise = noisy_l.shape[0]

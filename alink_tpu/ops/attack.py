@@ -63,8 +63,13 @@ def perturb_image(xs: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(lead + img.shape)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("predict_fn", "pixel_count", "maxiter", "popsize"),
+)
 def one_pixel_attack_pairs(
-    predict_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    predict_fn: Callable[[object, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    predict_params,
     left: jnp.ndarray,
     right: jnp.ndarray,
     target_labels: jnp.ndarray,
@@ -77,9 +82,13 @@ def one_pixel_attack_pairs(
     """A2-LINK's adversarial channel over a whole pair batch.
 
     Args:
-        predict_fn: ``(left, right) -> (N, 2) probabilities`` — the end-to-end
-            model (featurizer + siamese head), i.e. PredictionWrappedModel
-            (noise.py:153-168).
+        predict_fn: ``(params, left, right) -> (N, 2) probabilities`` — the
+            end-to-end model (featurizer + siamese head), i.e.
+            PredictionWrappedModel (noise.py:153-168).  Static for jit
+            caching; the mutable model state flows through
+            ``predict_params`` so A-LINK's per-round finetunes don't
+            trigger recompilation.
+        predict_params: pytree passed through to ``predict_fn`` (traced).
         left/right: (N, H, W, C) raw pair halves.
         target_labels: (N, 2) one-hot M1 labels; the attack drives the model
             toward class ``argmax`` of these (ALINK.py:163-164 passes
@@ -107,7 +116,7 @@ def one_pixel_attack_pairs(
         (noise.py:158-168)."""
         lh = imgs[:, :h]
         rh = imgs[:, h:]
-        return predict_fn(lh, rh)
+        return predict_fn(predict_params, lh, rh)
 
     def attack_one(img, tclass, k):
         def fitness(params):  # (M, 5k) -> (M,)
@@ -140,7 +149,8 @@ def one_pixel_attack_pairs(
 
 @partial(jax.jit, static_argnames=("predict_fn", "loss"))
 def fgsm_pairs(
-    predict_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    predict_fn: Callable[[object, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    predict_params,
     left: jnp.ndarray,
     right: jnp.ndarray,
     target_labels: jnp.ndarray,
@@ -156,7 +166,7 @@ def fgsm_pairs(
     """
 
     def xent(lh, rh):
-        probs = predict_fn(lh, rh)
+        probs = predict_fn(predict_params, lh, rh)
         eps = 1e-12
         return -jnp.mean(jnp.sum(target_labels * jnp.log(probs + eps), axis=-1))
 

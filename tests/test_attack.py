@@ -25,11 +25,17 @@ def test_perturb_image_batch_shape():
     assert out.shape == (7, 4, 4, 3)
 
 
-def _toy_predict(left, right):
-    """Toy pair model: P(genuine) = sigmoid(mean(left) - mean(right))."""
+def _toy_predict(params, left, right):
+    """Toy pair model: P(genuine) = sigmoid(mean(left) - mean(right)).
+
+    ``params`` is the (traced) model-state slot of the attack API.
+    """
     s = jnp.mean(left, axis=(1, 2, 3)) - jnp.mean(right, axis=(1, 2, 3))
-    p1 = jax.nn.sigmoid(s / 8.0)
+    p1 = jax.nn.sigmoid(s / params)
     return jnp.stack([1.0 - p1, p1], axis=-1)
+
+
+_TOY_PARAMS = jnp.float32(8.0)
 
 
 def test_one_pixel_attack_moves_toward_target(rng):
@@ -39,12 +45,12 @@ def test_one_pixel_attack_moves_toward_target(rng):
     right = jnp.full((n, h, w, 3), 100.0)
     # Target class 1 (genuine): needs mean(left) > mean(right).
     targets = jnp.tile(jnp.array([[0.0, 1.0]]), (n, 1))
-    before = _toy_predict(left, right)[:, 1]
+    before = _toy_predict(_TOY_PARAMS, left, right)[:, 1]
     nl, nr = one_pixel_attack_pairs(
-        _toy_predict, left, right, targets, rng,
+        _toy_predict, _TOY_PARAMS, left, right, targets, rng,
         pixel_count=3, maxiter=12, popsize=30,
     )
-    after = _toy_predict(nl, nr)[:, 1]
+    after = _toy_predict(_TOY_PARAMS, nl, nr)[:, 1]
     assert nl.shape == left.shape and nr.shape == right.shape
     # P(target) must not decrease, and typically increases.
     assert np.all(np.asarray(after) >= np.asarray(before) - 1e-6)
@@ -58,7 +64,7 @@ def test_one_pixel_attack_changes_at_most_k_pixels(rng):
     targets = jnp.array([[1.0, 0.0]])
     k = 4
     nl, nr = one_pixel_attack_pairs(
-        _toy_predict, left, right, targets, rng,
+        _toy_predict, _TOY_PARAMS, left, right, targets, rng,
         pixel_count=k, maxiter=3, popsize=10,
     )
     changed = (np.abs(np.asarray(nl) - 50.0).max(axis=-1) > 1e-6).sum() + (
@@ -72,12 +78,13 @@ def test_fgsm_shifts_by_epsilon_sign(rng):
     left = jnp.full((n, h, w, 3), 100.0)
     right = jnp.full((n, h, w, 3), 90.0)
     targets = jnp.tile(jnp.array([[0.0, 1.0]]), (n, 1))
-    nl, nr = fgsm_pairs(_toy_predict, left, right, targets, epsilon=2.0)
+    nl, nr = fgsm_pairs(_toy_predict, _TOY_PARAMS, left, right, targets,
+                        epsilon=2.0)
     dl = np.unique(np.round(np.asarray(nl - left), 5))
     dr = np.unique(np.round(np.asarray(nr - right), 5))
     assert set(dl.tolist()) <= {-2.0, 0.0, 2.0}
     assert set(dr.tolist()) <= {-2.0, 0.0, 2.0}
     # Standard FGSM ascends the loss: P(label class) must drop.
-    p_before = _toy_predict(left, right)[:, 1]
-    p_after = _toy_predict(nl, nr)[:, 1]
+    p_before = _toy_predict(_TOY_PARAMS, left, right)[:, 1]
+    p_after = _toy_predict(_TOY_PARAMS, nl, nr)[:, 1]
     assert np.all(np.asarray(p_after) < np.asarray(p_before))
