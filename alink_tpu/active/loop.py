@@ -121,17 +121,21 @@ class ALinkLoop:
         committee: Committee,
         m2_state: T.TrainState,
         student_featurize: Callable | str | None = "same",
+        student_is_head: bool = True,
         student_res: tuple[int, int] | None = None,
         replay_gen: Iterator | None = None,
         adversarial_predict: Callable | None = None,
         adversarial_kwargs: dict | None = None,
+        pair_builder: Callable = all_pairs_minibatch,
         key: jax.Array | None = None,
     ):
+        self.pair_builder = pair_builder
         self.config = config
         self.featurize = featurize
         self.student_featurize = (
             featurize if student_featurize == "same" else student_featurize
         )
+        self.student_is_head = student_is_head
         self.student_res = (
             tuple(student_res) if student_res is not None
             else tuple(config.image_res)
@@ -160,8 +164,13 @@ class ALinkLoop:
         )
 
     def _student_probs(self, left_in, right_in) -> jnp.ndarray:
-        """M2 P(genuine) per pair (disguisedFacesModel.predict[:, 1])."""
-        if self.student_featurize is None:
+        """M2 P(genuine) per pair (disguisedFacesModel.predict[:, 1]).
+
+        ``student_is_head=True``: M2 is a feature-space SiameseHead and
+        inputs are embeddings (the DFW drivers).  ``False``: M2 is a full
+        image model (SmallRes, ALINK_MTP) applied to its inputs directly.
+        """
+        if not self.student_is_head:
             m2 = self.state.m2_state
             logits = m2.logits_fn(m2.params, left_in, right_in)
             return jax.nn.softmax(logits, axis=-1)[:, 1]
@@ -175,7 +184,7 @@ class ALinkLoop:
         dig_part: PersonStacks,
     ) -> IterationLog:
         cfg = self.config
-        left_raw, right_raw, y = all_pairs_minibatch(plain_part, dig_part)
+        left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
         n = len(y)
         self.state.un_size += n  # ALINK.py:154
 

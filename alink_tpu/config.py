@@ -79,6 +79,30 @@ class ALinkConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ALinkArcConfig(ALinkConfig):
+    """ArcFace driver configuration (reference: code/ALINK_arc.py:28-60).
+
+    Same knobs as the DFW driver; differing defaults: 112x112 inputs,
+    512-d L2-normalised embeddings, perlin added to the noise bank
+    (ALINK_arc.py:41), and its own model paths.
+    """
+
+    out_model: str = "models/postALINK_arc"
+    ensemble_basepath: str = "models/ensemble_arc"
+    disguised_basemodel: str = "models/disguisedModel_arc"
+    noise: Sequence[str] = (
+        "gaussian",
+        "saltpepper",
+        "poisson",
+        "perlin",
+        "speckle",
+        "adversarial",
+    )
+    image_res: tuple[int, int] = (112, 112)
+    feature_res: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
 class MTPConfig:
     """Multi-PIE cross-resolution variant (reference: code/ALINK_MTP.py:47-72).
 

@@ -1,0 +1,146 @@
+"""A-LINK / A2-LINK driver — DFW, VGGFace-ResNet50 configuration.
+
+Reference: ``code/ALINK.py`` (flags :37-62, main :65-265).  Same staging:
+
+1. featurize DFW person stacks with the 2048-d teacher backbone;
+2. split the disguised pool (``--split_ratio``) into an M2-pretraining half
+   and the unlabeled loop pool;
+3. train-or-load the student M2 (``--train_disguised_model`` stages and
+   exits like the reference) and the M1 ensemble (``--refine_models``);
+4. run the A-LINK loop (active.loop) and save the post-A-LINK model.
+
+Usage (flag names 1:1 with the reference):
+    python -m alink_tpu.drivers.alink --data_dir_prefix DFW_Data/ ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import numpy as np
+
+from alink_tpu import train as T
+from alink_tpu.active.committee import Committee
+from alink_tpu.active.loop import ALinkLoop, ALinkState
+from alink_tpu.config import ALinkConfig
+from alink_tpu.drivers import common
+from alink_tpu.ops.pairwise import pair_scores
+
+
+def add_config_flags(parser: argparse.ArgumentParser, config_cls) -> None:
+    """argparse flags from the config dataclass (names match ALINK.py:37-62)."""
+    for field in dataclasses.fields(config_cls):
+        default = field.default
+        if isinstance(default, bool):
+            parser.add_argument(f"--{field.name}", type=lambda s: s.lower()
+                                in ("1", "true", "yes"), default=default)
+        elif isinstance(default, (int, float, str)):
+            parser.add_argument(f"--{field.name}", type=type(default),
+                                default=default)
+        elif field.name == "noise":
+            parser.add_argument("--noise", type=str,
+                                default=",".join(default))
+
+
+def parse_config(argv=None, config_cls=ALinkConfig,
+                 **overrides) -> ALinkConfig:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser, config_cls)
+    args = vars(parser.parse_args(argv))
+    if isinstance(args.get("noise"), str):
+        args["noise"] = tuple(args["noise"].split(","))
+    known = {f.name for f in dataclasses.fields(config_cls)}
+    args = {k: v for k, v in args.items() if k in known}
+    args.update(overrides)
+    return config_cls(**args)
+
+
+def make_adversarial_predict(featurize):
+    """End-to-end PredictionWrappedModel (noise.py:153-168): raw pair
+    halves -> features -> M2 probabilities, parameterised by M2 params."""
+
+    def predict(m2_params, left, right):
+        import jax.numpy as jnp
+
+        p = pair_scores(m2_params, featurize(left), featurize(right))
+        return jnp.stack([1.0 - p, p], axis=-1)
+
+    return predict
+
+
+def run_alink(
+    config: ALinkConfig,
+    *,
+    featurize=None,
+    n_steps: int = 320000,
+    key: jax.Array | None = None,
+) -> ALinkState:
+    """The full ALINK.py main flow; returns the final loop state."""
+    key = key if key is not None else jax.random.PRNGKey(config.seed)
+    keys = iter(jax.random.split(key, 16))
+
+    if featurize is None:
+        featurize, _ = common.make_resnet50_featurizer(next(keys))
+
+    data = common.load_dfw(config, featurize)
+    dig_pre, dig_post_raw = common.split_pools(config, data)
+
+    # Student M2 (ALINK.py:88, 99-118).
+    m2 = common.new_head_state(next(keys), config.feature_res, 0.1)
+    m2_gen = common.replay_generator(config.seed, dig_pre, data.imp_feats,
+                                    config.batch_size)
+    m2 = common.train_or_load_head(
+        m2, config.disguised_basemodel, m2_gen,
+        epochs=config.dig_epochs, batch_size=config.batch_size,
+        key=next(keys), refine=config.train_disguised_model, n_steps=n_steps,
+    )
+
+    # M1 ensemble (ALINK.py:94-97, 122-132): members trained individually
+    # on undisguised pairs, then stacked for the vmapped committee.
+    committee, head = common.build_committee(
+        next(keys), config.feature_res, config.noise,
+        config.num_ensemble_models,
+    )
+    plain_gen = common.replay_generator(config.seed + 1, data.plain_feats,
+                                        data.imp_feats, config.batch_size)
+    member_params = []
+    for i in range(1, config.num_ensemble_models + 1):
+        member = common.new_head_state(next(keys), config.feature_res, 0.1)
+        member = member.replace(params=committee.member_params(i - 1))
+        member = common.train_or_load_head(
+            member, f"{config.ensemble_basepath}{i}", plain_gen,
+            epochs=config.undig_epochs, batch_size=config.batch_size,
+            key=next(keys), refine=config.refine_models, n_steps=n_steps,
+        )
+        member_params.append(member.params)
+    committee = Committee.from_param_list(head, member_params, config.noise)
+
+    # Framework loop (ALINK.py:145-259).
+    replay = common.replay_generator(config.seed + 2, data.plain_feats,
+                                     data.imp_feats, config.batch_size)
+    adv = (make_adversarial_predict(featurize)
+           if "adversarial" in config.noise else None)
+    loop = ALinkLoop(
+        config,
+        featurize=featurize,
+        committee=committee,
+        m2_state=m2,
+        replay_gen=replay,
+        adversarial_predict=adv,
+        key=next(keys),
+    )
+    state = loop.run(data.plain_raw, dig_post_raw)
+    print(f">> Active Count: {state.active_count} out of {state.un_size}")
+    T.save(config.out_model, state.m2_state.params)
+    return state
+
+
+def main(argv=None) -> None:
+    config = parse_config(argv)
+    run_alink(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""End-to-end driver tests on synthetic datasets (drivers/ vs code/ALINK*.py).
+
+These are the integration tests the reference never had (SURVEY.md section
+4): each driver runs its complete staging + loop on a synthetic
+DFW/MTP-shaped dataset with a cheap injected featurizer.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.config import ALinkArcConfig, ALinkConfig, ExistingALConfig, MTPConfig
+from alink_tpu.data import make_synthetic_dfw, make_synthetic_mtp
+from alink_tpu.drivers.alink import parse_config, run_alink
+from alink_tpu.drivers.alink_mtp import run_alink_mtp
+from alink_tpu.drivers.existing_al import run_existing_al
+from alink_tpu.drivers import visualize_noise
+
+SIZE = 12
+FDIM = SIZE * SIZE * 3
+
+
+def _flatten_featurize(images):
+    return images.reshape(images.shape[0], -1) / 255.0
+
+
+@pytest.fixture(scope="module")
+def dfw_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dfw_driver"))
+    return make_synthetic_dfw(root, num_people=4, plain_per_person=2,
+                              disguised_per_person=4, impostors_per_person=2,
+                              image_size=SIZE)
+
+
+class TestFlagParsing:
+    def test_defaults_match_reference(self):
+        cfg = parse_config([])
+        assert cfg.batch_size == 16
+        assert cfg.eps == 0.05
+        assert cfg.noise == ("gaussian", "saltpepper", "poisson", "speckle",
+                             "adversarial")
+
+    def test_overrides(self):
+        cfg = parse_config(["--noise", "gaussian,perlin", "--eps", "0.1",
+                            "--blind_strategy", "true", "--alink_bs", "4"])
+        assert cfg.noise == ("gaussian", "perlin")
+        assert cfg.eps == 0.1
+        assert cfg.blind_strategy is True
+        assert cfg.alink_bs == 4
+
+    def test_arc_defaults(self):
+        cfg = parse_config([], config_cls=ALinkArcConfig)
+        assert cfg.image_res == (112, 112)
+        assert cfg.feature_res == 512
+        assert "perlin" in cfg.noise
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            parse_config(["--eps", "0.7"])
+
+
+class TestALinkDriver:
+    def test_end_to_end(self, dfw_root, tmp_path):
+        cfg = parse_config(
+            [],
+            data_dir_prefix=dfw_root,
+            out_model=os.path.join(str(tmp_path), "post"),
+            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
+            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
+            noise=("gaussian", "speckle"),
+            image_res=(SIZE, SIZE),
+            feature_res=FDIM,
+            dig_epochs=1,
+            undig_epochs=1,
+            ft_epochs=1,
+            alink_bs=2,
+            batch_send=4,
+            batch_size=8,
+            disparity_ratio=0.9,
+            eps=0.01,
+        )
+        state = run_alink(cfg, featurize=_flatten_featurize, n_steps=32)
+        assert state.un_size > 0
+        assert os.path.isdir(cfg.out_model)
+        # Staged models were saved for train-or-load reuse.
+        assert os.path.isdir(cfg.disguised_basemodel)
+        assert os.path.isdir(f"{cfg.ensemble_basepath}1")
+
+    def test_reload_skips_training(self, dfw_root, tmp_path):
+        """Second run must load the staged models (maybeLoadFromMemory)."""
+        kwargs = dict(
+            data_dir_prefix=dfw_root,
+            out_model=os.path.join(str(tmp_path), "post"),
+            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
+            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
+            noise=("gaussian",),
+            image_res=(SIZE, SIZE),
+            feature_res=FDIM,
+            dig_epochs=1, undig_epochs=1, ft_epochs=1,
+            alink_bs=2, batch_send=4, batch_size=8,
+            active_ratio=0.0,  # stop after one slab
+        )
+        cfg = parse_config([], **kwargs)
+        run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+        state2 = run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+        assert state2.un_size > 0
+
+
+class TestMTPDriver:
+    def test_end_to_end(self, tmp_path):
+        train_dir = str(tmp_path / "train")
+        test_dir = str(tmp_path / "test")
+        make_synthetic_mtp(train_dir, num_subjects=4, image_size=SIZE)
+        make_synthetic_mtp(test_dir, num_subjects=3, image_size=SIZE, seed=9)
+        cfg = parse_config(
+            [],
+            config_cls=MTPConfig,
+            data_dir_prefix=train_dir,
+            test_dir=test_dir,
+            out_model=str(tmp_path / "post"),
+            ensemble_basepath=str(tmp_path / "ens"),
+            lowres_basemodel=str(tmp_path / "low"),
+            noise=("gaussian",),  # adversarial DE is too slow for CI
+            image_res=(SIZE, SIZE),
+            normal_res=(SIZE, SIZE),
+            feature_res=FDIM,
+            low_res=12,  # SmallRes needs >= 12px for its conv/pool chain
+            lowres_epochs=1,
+            highres_epochs=1,
+            ft_epochs=1,
+            alink_bs=2,
+            batch_send=4,
+            batch_size=8,
+        )
+        state, top1 = run_alink_mtp(cfg, featurize=_flatten_featurize,
+                                    n_steps=16)
+        assert state.un_size > 0
+        assert top1 is not None
+        assert 0.0 <= top1 <= 1.0
+
+
+class TestExistingALDriver:
+    def test_end_to_end(self, dfw_root, tmp_path):
+        cfg = parse_config(
+            [],
+            config_cls=ExistingALConfig,
+            data_dir_prefix=dfw_root,
+            model_path=str(tmp_path / "active"),
+            out_model=str(tmp_path / "post_active"),
+            image_res=(SIZE, SIZE),
+            feature_res=FDIM,
+            epochs=1,
+            batch_size=16,
+        )
+        learner = run_existing_al(cfg, featurize=_flatten_featurize,
+                                  n_rounds=3, n_steps=32)
+        assert learner._y is not None and len(learner._y) > 0
+        assert os.path.isdir(cfg.out_model)
+
+
+class TestVisualizeNoise:
+    def test_writes_image(self, tmp_path):
+        from PIL import Image
+
+        src = str(tmp_path / "in.png")
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (56, 56, 3),
+                                              dtype=np.uint8)
+        ).save(src)
+        out = str(tmp_path / "out.png")
+        visualize_noise.main(["--image", src, "--noise", "perlin",
+                              "--out", out])
+        assert os.path.exists(out)
