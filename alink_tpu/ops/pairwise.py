@@ -296,8 +296,11 @@ def score_matrix_sharded(
     nd = mesh.shape[DATA_AXIS]
     nm = mesh.shape[MODEL_AXIS]
     n, m = rows.shape[0], cols.shape[0]
-    rows = _pad_to(rows, nd)
-    cols = _pad_to(cols, nm)
+    rows = jax.device_put(_pad_to(jnp.asarray(rows), nd),
+                          jax.NamedSharding(mesh, P(DATA_AXIS, None)))
+    cols = jax.device_put(_pad_to(jnp.asarray(cols), nm),
+                          jax.NamedSharding(mesh, P(MODEL_AXIS, None)))
+    params = jax.device_put(params, jax.NamedSharding(mesh, P()))
     on_tpu = mesh.devices.flat[0].platform == "tpu"
 
     fn = shard_map(

@@ -1,0 +1,135 @@
+"""Tests for the utilities-chain CLI tools (tools/ vs utilities/*)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from alink_tpu import train as T
+from alink_tpu.data import make_synthetic_mtp
+from alink_tpu.models import SiameseHead
+from alink_tpu.tools import (
+    generate_matrix,
+    generate_predictions as gp,
+    get_stats,
+    mtp_staging,
+    plots,
+    roc_precompute,
+)
+
+
+class TestPredictionChain:
+    """The generatePredictions -> generateMatrix -> ROC -> stats chain
+    (SURVEY.md section 3.5) end to end on synthetic artifacts."""
+
+    @pytest.fixture(scope="class")
+    def chain_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("chain")
+        n, dim = 24, 32
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(n, dim)).astype(np.float32)
+        np.save(d / "processedData.npy", feats)
+        head = SiameseHead()
+        params = head.init(jax.random.PRNGKey(0),
+                           np.zeros((1, dim), np.float32),
+                           np.zeros((1, dim), np.float32))
+        T.save(str(d / "head_ckpt"), params)
+        mask = np.zeros((n, n), int)
+        iu = np.triu_indices(n, 1)
+        mask[iu] = rng.integers(1, 5, len(iu[0]))
+        np.savetxt(d / "mask.txt", mask, fmt="%d")
+        return d
+
+    def test_generate_matrix(self, chain_dir):
+        out = str(chain_dir / "scores.npy")
+        generate_matrix.main([
+            str(chain_dir / "head_ckpt"), out,
+            "--features", str(chain_dir / "processedData.npy"),
+        ])
+        scores = np.load(out)
+        assert scores.shape == (24, 24)
+        assert np.all((scores >= 0) & (scores <= 1))
+
+    def test_roc_and_stats(self, chain_dir, capsys):
+        scores_path = str(chain_dir / "scores.npy")
+        if not os.path.exists(scores_path):
+            self.test_generate_matrix(chain_dir)
+        tprfpr = str(chain_dir / "tpr_fpr.txt")
+        roc_precompute.main([
+            scores_path, tprfpr, "3", "--mask", str(chain_dir / "mask.txt"),
+        ])
+        assert os.path.exists(tprfpr)
+        get_stats.main([tprfpr])
+        out = capsys.readouterr().out
+        assert "AUC" in out and "EER" in out and "GAR" in out
+
+    def test_plots(self, chain_dir):
+        scores_path = str(chain_dir / "scores.npy")
+        if not os.path.exists(scores_path):
+            self.test_generate_matrix(chain_dir)
+        tprfpr = str(chain_dir / "tpr_fpr.txt")
+        if not os.path.exists(tprfpr):
+            roc_precompute.main([scores_path, tprfpr, "3",
+                                 "--mask", str(chain_dir / "mask.txt")])
+        roc_out = str(chain_dir / "roc.png")
+        plots.main(["roc", tprfpr, roc_out])
+        hist_out = str(chain_dir / "hist.png")
+        plots.main(["histogram", scores_path, str(chain_dir / "mask.txt"),
+                    hist_out])
+        assert os.path.exists(roc_out) or os.path.exists(roc_out + ".npz")
+        assert os.path.exists(hist_out) or os.path.exists(hist_out + ".npz")
+
+
+class TestGeneratePredictionsFn:
+    def test_batched_featurize(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(1)
+        names = []
+        for i in range(5):
+            name = f"face_{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3),
+                                         dtype=np.uint8)).save(
+                tmp_path / name)
+            names.append(name)
+        feats = gp.generate_predictions(
+            str(tmp_path), names,
+            lambda x: x.reshape(x.shape[0], -1)[:, :8],
+            image_res=(16, 16), batch=2,
+        )
+        assert feats.shape == (5, 8)
+
+
+class TestMTPStaging:
+    def test_group_bisect_dirs(self, tmp_path):
+        raw = tmp_path / "raw"
+        make_synthetic_mtp(str(raw), num_subjects=4, image_size=8)
+        seg = tmp_path / "seg"
+        mtp_staging.group_by_person(str(raw), str(seg), move=False)
+        people = sorted(os.listdir(seg))
+        assert len(people) == 4
+        assert all(len(os.listdir(seg / p)) == 5 for p in people)
+
+        lists = tmp_path / "lists"
+        splits = mtp_staging.bisect_into_paths(str(seg), str(lists))
+        total = sum(len(v) for v in splits.values())
+        assert total == 20
+        for fname in ("unlabelledData.txt", "testData.txt",
+                      "highResData.txt", "lowResData.txt"):
+            assert os.path.exists(lists / fname)
+
+    def test_ready_data_pipeline(self, tmp_path):
+        raw = tmp_path / "raw"
+        make_synthetic_mtp(str(raw), num_subjects=5, image_size=8)
+        out = tmp_path / "out"
+        mtp_staging.ready_data(str(raw), str(out))
+        for res in ("highres", "lowres"):
+            for split in ("train", "val"):
+                path = out / res / split
+                assert path.is_dir()
+        # Staged person dirs hold the person's own images.
+        hr_train = out / "highres" / "train"
+        for person in os.listdir(hr_train):
+            for f in os.listdir(hr_train / person):
+                assert f.split("_")[0] == person
