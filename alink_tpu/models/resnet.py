@@ -101,6 +101,67 @@ class VGGFaceResNet50(nn.Module):
         return x  # (N, 2048)
 
 
+class _SEBottleneck(nn.Module):
+    """Squeeze-and-excitation bottleneck (keras_vggface senet50 topology:
+    ResNet-v1 bottleneck + SE gate with reduction 16)."""
+
+    filters: int
+    stride: int = 1
+    project: bool = False
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.filters
+        shortcut = x
+        y = nn.Conv(f, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(_FrozenBN(dtype=self.dtype)(y))
+        y = nn.Conv(f, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.relu(_FrozenBN(dtype=self.dtype)(y))
+        y = nn.Conv(4 * f, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _FrozenBN(dtype=self.dtype)(y)
+        # SE gate: global pool -> bottleneck MLP -> sigmoid channel scale.
+        se = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+        se = nn.relu(nn.Dense(4 * f // self.reduction,
+                              dtype=jnp.float32)(se))
+        se = nn.sigmoid(nn.Dense(4 * f, dtype=jnp.float32)(se))
+        y = y * se[:, None, None, :].astype(self.dtype)
+        if self.project:
+            shortcut = nn.Conv(4 * f, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            shortcut = _FrozenBN(dtype=self.dtype)(shortcut)
+        return nn.relu(y + shortcut)
+
+
+class SENet50(nn.Module):
+    """keras_vggface senet50 to the flattened avg_pool (2048-d).
+
+    Reference: code/model.py:126-141 (SENET50 classifier backbone).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for b in range(blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = _SEBottleneck(w, stride=stride, project=(b == 0),
+                                  dtype=self.dtype)(x)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, 2048)
+
+
 class VGGFace16(nn.Module):
     """keras_vggface vgg16 to the flattened pool5 (25088-d at 224x224).
 

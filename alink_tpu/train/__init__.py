@@ -30,3 +30,10 @@ from alink_tpu.train.trainer import (  # noqa: F401
     train_step,
 )
 from alink_tpu.train.checkpoint import maybe_restore, restore, save  # noqa: F401
+from alink_tpu.train.classifier import (  # noqa: F401
+    categorical_crossentropy,
+    classifier_eval_step,
+    classifier_train_step,
+    create_classifier_state,
+    fit_classifier,
+)
