@@ -44,6 +44,7 @@ from alink_tpu.data.pairs import all_pairs_minibatch
 from alink_tpu.ops.augment import augment_pairs
 from alink_tpu.ops.image import resize
 from alink_tpu.ops.pairwise import pair_scores
+from alink_tpu.utils.profiling import Timings
 
 
 @dataclasses.dataclass
@@ -147,6 +148,9 @@ class ALinkLoop:
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
         self.state = ALinkState(m2_state=m2_state)
         self.logs: list[IterationLog] = []
+        # Per-phase wall-clock accounting (SURVEY.md section 5.1 — the
+        # reference has no tracing at all); read loop.timings.report().
+        self.timings = Timings()
 
     # -- helpers ---------------------------------------------------------
 
@@ -184,14 +188,17 @@ class ALinkLoop:
         dig_part: PersonStacks,
     ) -> IterationLog:
         cfg = self.config
-        left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
+        with self.timings.phase("pairs"):
+            left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
         n = len(y)
         self.state.un_size += n  # ALINK.py:154
 
         # M1 on clean features (ALINK.py:157-160).
-        fl = self.featurize(jnp.asarray(left_raw))
-        fr = self.featurize(jnp.asarray(right_raw))
-        m1_probs2 = self.committee.predict(fl, fr)
+        with self.timings.phase("featurize"):
+            fl = self.featurize(jnp.asarray(left_raw))
+            fr = self.featurize(jnp.asarray(right_raw))
+        with self.timings.phase("committee"):
+            m1_probs2 = self.committee.predict(fl, fr)
         m1_genuine = m1_probs2[:, 1]
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
@@ -199,35 +206,38 @@ class ALinkLoop:
         # (ALINK.py:163-164; ALINK_MTP.py:164-165).  The attack targets the
         # LIVE student params (PredictionWrappedModel holds the mutable
         # model, noise.py:153-168).
-        noisy_l, noisy_r = self.committee.attack_model(
-            self._next_key(),
-            jnp.asarray(left_raw),
-            jnp.asarray(right_raw),
-            self.student_res,
-            m1_labels=m1_labels,
-            adversarial_predict=self.adversarial_predict,
-            adversarial_params=self.state.m2_state.params,
-            adversarial_kwargs=self.adversarial_kwargs,
-        )
+        with self.timings.phase("noise_attack"):
+            noisy_l, noisy_r = self.committee.attack_model(
+                self._next_key(),
+                jnp.asarray(left_raw),
+                jnp.asarray(right_raw),
+                self.student_res,
+                m1_labels=m1_labels,
+                adversarial_predict=self.adversarial_predict,
+                adversarial_params=self.state.m2_state.params,
+                adversarial_kwargs=self.adversarial_kwargs,
+            )
         k_noise = noisy_l.shape[0]
 
         # Student under every channel (ALINK.py:167-170).
         student_inputs = []
         probs = []
-        for k in range(k_noise):
-            li, ri = self._student_inputs(noisy_l[k], noisy_r[k])
-            student_inputs.append((li, ri))
-            probs.append(self._student_probs(li, ri))
-        student_probs = jnp.stack(probs)  # (K, N)
+        with self.timings.phase("student"):
+            for k in range(k_noise):
+                li, ri = self._student_inputs(noisy_l[k], noisy_r[k])
+                student_inputs.append((li, ri))
+                probs.append(self._student_probs(li, ri))
+            student_probs = jnp.stack(probs)  # (K, N)
 
-        sel = select_queries(
-            student_probs,
-            m1_genuine,
-            jnp.asarray(y, jnp.float32),
-            disparity_ratio=cfg.disparity_ratio,
-            blind_strategy=cfg.blind_strategy,
-            eps=cfg.eps,
-        )
+        with self.timings.phase("select", block_on=student_probs):
+            sel = select_queries(
+                student_probs,
+                m1_genuine,
+                jnp.asarray(y, jnp.float32),
+                disparity_ratio=cfg.disparity_ratio,
+                blind_strategy=cfg.blind_strategy,
+                eps=cfg.eps,
+            )
         self.state.active_count += int(sel.oracle_charges)
 
         queried = np.flatnonzero(np.asarray(sel.queried))
@@ -247,10 +257,12 @@ class ALinkLoop:
                     )
             if self.state.buffer_size() >= cfg.batch_send:
                 finetuned = True
-                clean_l = resize(jnp.asarray(left_raw), self.student_res)
-                clean_r = resize(jnp.asarray(right_raw), self.student_res)
-                sfl, sfr = self._student_inputs(clean_l, clean_r)
-                self._finetune(left_raw, right_raw, sfl, sfr, queried, pseudo)
+                with self.timings.phase("finetune"):
+                    clean_l = resize(jnp.asarray(left_raw), self.student_res)
+                    clean_r = resize(jnp.asarray(right_raw), self.student_res)
+                    sfl, sfr = self._student_inputs(clean_l, clean_r)
+                    self._finetune(left_raw, right_raw, sfl, sfr, queried,
+                                   pseudo)
 
         log = IterationLog(
             iteration=len(self.logs),
