@@ -78,11 +78,25 @@ def load_image_list(
     image_res: tuple[int, int],
     *,
     threads: int = 16,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Decode a flat list of paths into an (N, H, W, 3) float32 array."""
+    """Decode a flat list of paths into an (N, H, W, 3) float32 array.
+
+    ``backend``: "native" (the C++ loader, native/loader.cc), "pil"
+    (portable thread-pooled PIL), or "auto" (native when built).
+    """
     if not paths:
         w, h = image_res
         return np.zeros((0, h, w, 3), np.float32)
+    if backend in ("auto", "native"):
+        from alink_tpu.data import native_loader
+
+        if native_loader.available():
+            out, _ = native_loader.decode_resize_batch(
+                list(paths), image_res, threads=threads)
+            return out
+        if backend == "native":
+            raise RuntimeError("native loader requested but unavailable")
     with cf.ThreadPoolExecutor(max_workers=threads) as ex:
         imgs = list(ex.map(lambda p: _decode_one(p, image_res), paths))
     return np.stack(imgs)
