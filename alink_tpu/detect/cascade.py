@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from alink_tpu.models import preprocess
-from alink_tpu.models.mtcnn import ONet, PNet, RNet
+from alink_tpu.models.mtcnn import LNet, ONet, PNet, RNet
 from alink_tpu.ops.boxes import (
     calibrate_box,
     convert_to_square,
@@ -60,6 +60,7 @@ class CascadeConfig:
     stage1_budget: int = 256         # after global NMS
     stage2_budget: int = 128
     stage3_budget: int = 64
+    accurate_landmark: bool = False  # L-Net refine (mtcnn_detector.py:478)
     output_size: tuple[int, int] = (112, 112)
 
 
@@ -67,6 +68,7 @@ class MTCNNParams(NamedTuple):
     pnet: dict
     rnet: dict
     onet: dict
+    lnet: dict | None = None
 
 
 class Detections(NamedTuple):
@@ -81,15 +83,19 @@ class Detections(NamedTuple):
 _PNET = PNet()
 _RNET = RNet()
 _ONET = ONet()
+_LNET = LNet()
 
 
-def init_cascade_params(key: jax.Array) -> MTCNNParams:
+def init_cascade_params(key: jax.Array,
+                        with_lnet: bool = True) -> MTCNNParams:
     """Random-init cascade params (pretrained weights load via orbax)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     return MTCNNParams(
         pnet=_PNET.init(k1, jnp.zeros((1, 12, 12, 3))),
         rnet=_RNET.init(k2, jnp.zeros((1, 24, 24, 3))),
         onet=_ONET.init(k3, jnp.zeros((1, 48, 48, 3))),
+        lnet=_LNET.init(k4, jnp.zeros((1, 24, 24, 15))) if with_lnet
+        else None,
     )
 
 
@@ -173,6 +179,38 @@ def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
     return boxes, scores, valid, landmarks
 
 
+def _refine_landmarks(params, img, boxes, landmarks):
+    """L-Net landmark refinement (mtcnn_detector.py:478-511).
+
+    Per face: a patch of width ``round(0.25 * max(w, h))`` (made even) is
+    cropped around each of the 5 landmarks, resized to 24x24 and stacked
+    channel-wise (15 channels); L-Net's (dx, dy) in [0, 1] patch coords
+    replace the landmark, with large movements (|offset - 0.5| > 0.35)
+    clamped back to the patch centre.
+    """
+    patchw = jnp.maximum(boxes[:, 2] - boxes[:, 0] + 1.0,
+                         boxes[:, 3] - boxes[:, 1] + 1.0)
+    patchw = jnp.round(patchw * 0.25)
+    patchw = jnp.where(patchw % 2 == 1, patchw + 1, patchw)  # make even
+
+    # (K, 5) top-left corners of the landmark patches.
+    x0 = jnp.round(landmarks[..., 0] - 0.5 * patchw[:, None])
+    y0 = jnp.round(landmarks[..., 1] - 0.5 * patchw[:, None])
+    patch_boxes = jnp.stack(
+        [x0, y0, x0 + patchw[:, None] - 1.0, y0 + patchw[:, None] - 1.0],
+        axis=-1,
+    )  # (K, 5, 4)
+    crops = crop_and_resize(img, patch_boxes.reshape(-1, 4), (24, 24))
+    crops = crops.reshape(patch_boxes.shape[0], 5, 24, 24, 3)
+    stacked = jnp.concatenate(
+        [crops[:, i] for i in range(5)], axis=-1)  # (K, 24, 24, 15)
+    offsets = _LNET.apply(params.lnet, preprocess.mtcnn(stacked))  # (K, 5, 2)
+    offsets = jnp.where(jnp.abs(offsets - 0.5) > 0.35, 0.5, offsets)
+    rx = x0 + offsets[..., 0] * patchw[:, None]
+    ry = y0 + offsets[..., 1] * patchw[:, None]
+    return jnp.stack([rx, ry], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_faces(
     params: MTCNNParams,
@@ -185,7 +223,12 @@ def detect_faces(
     def single(img):
         b, s, v = _stage1(params, img, cfg, h, w)
         b, s, v = _stage2(params, img, b, s, v, cfg)
-        return _stage3(params, img, b, s, v, cfg)
+        b, s, v, lmk = _stage3(params, img, b, s, v, cfg)
+        if cfg.accurate_landmark:
+            if params.lnet is None:
+                raise ValueError("accurate_landmark requires lnet params")
+            lmk = _refine_landmarks(params, img, b, lmk)
+        return b, s, v, lmk
 
     boxes, scores, valid, landmarks = jax.vmap(single)(images)
     return Detections(boxes=boxes, scores=scores, landmarks=landmarks,

@@ -147,3 +147,40 @@ class TestFaceModel:
         assert det.boxes.shape[0] == 2
         feats = fm.process(images)
         assert feats.shape == (2, 512)
+
+
+class TestLNetRefine:
+    def test_accurate_landmark_path(self, cascade):
+        from alink_tpu.detect import CascadeConfig, detect_faces
+
+        cfg = CascadeConfig(
+            thresholds=(0.0, 0.0, 0.0), stage1_scale_budget=32,
+            stage1_budget=32, stage2_budget=16, stage3_budget=8,
+            accurate_landmark=True,
+        )
+        images = jax.random.uniform(jax.random.PRNGKey(9), (1, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        det = detect_faces(cascade, images, cfg)
+        assert det.landmarks.shape == (1, 8, 5, 2)
+        assert bool(jnp.all(jnp.isfinite(det.landmarks)))
+
+    def test_refine_moves_within_patch(self, cascade, small_cfg):
+        """Refined landmarks stay within a patch width of the originals
+        (the reference clamps large movements)."""
+        from alink_tpu.detect import detect_faces
+        import dataclasses
+
+        images = jax.random.uniform(jax.random.PRNGKey(10), (1, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        base = detect_faces(cascade, images, small_cfg)
+        refined = detect_faces(
+            cascade, images,
+            dataclasses.replace(small_cfg, accurate_landmark=True))
+        v = np.asarray(base.valid[0])
+        if v.any():
+            b = np.asarray(base.boxes[0])[v]
+            patch = np.maximum(b[:, 2] - b[:, 0] + 1, b[:, 3] - b[:, 1] + 1)
+            patch = np.round(patch * 0.25) + 2
+            delta = np.abs(np.asarray(refined.landmarks[0])[v]
+                           - np.asarray(base.landmarks[0])[v])
+            assert np.all(delta <= patch[:, None, None] + 1)
