@@ -23,3 +23,7 @@ from alink_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from alink_tpu.parallel.ops import (  # noqa: F401
+    sharded_committee_probs,
+    sharded_featurize,
+)

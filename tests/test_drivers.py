@@ -174,3 +174,28 @@ class TestVisualizeNoise:
         visualize_noise.main(["--image", src, "--noise", "perlin",
                               "--out", out])
         assert os.path.exists(out)
+
+
+class TestExistingALMTPDriver:
+    def test_end_to_end(self, tmp_path):
+        from alink_tpu.drivers.existing_al_mtp import run_existing_al_mtp
+        from alink_tpu.config import MTPConfig
+        from alink_tpu.data import make_synthetic_mtp
+
+        train_dir = str(tmp_path / "train")
+        make_synthetic_mtp(train_dir, num_subjects=4, image_size=SIZE)
+        cfg = parse_config(
+            [],
+            config_cls=MTPConfig,
+            data_dir_prefix=train_dir,
+            out_model=str(tmp_path / "post"),
+            lowres_basemodel=str(tmp_path / "low"),
+            image_res=(SIZE, SIZE),
+            normal_res=(SIZE, SIZE),
+            low_res=12,
+            lowres_epochs=1,
+            ft_epochs=1,
+            batch_size=8,
+        )
+        learner = run_existing_al_mtp(cfg, n_rounds=2, n_steps=16)
+        assert learner._y is not None and len(learner._y) > 0

@@ -1,0 +1,65 @@
+"""Tests for mesh construction + sharded bulk ops (parallel/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.models import SiameseHead
+from alink_tpu.parallel import (
+    create_mesh,
+    sharded_committee_probs,
+    sharded_featurize,
+    shard_batch,
+)
+
+
+class TestMesh:
+    def test_infer_shapes(self):
+        assert create_mesh((-1,)).shape == {"data": 8, "model": 1}
+        assert create_mesh((4, 2)).shape == {"data": 4, "model": 2}
+        assert create_mesh((-1, 2)).shape == {"data": 4, "model": 2}
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh((3, 2))
+
+    def test_shard_batch_pads(self, mesh8):
+        tree = {"x": np.ones((5, 3), np.float32)}
+        sharded, lengths = shard_batch(mesh8, tree)
+        assert sharded["x"].shape == (8, 3)  # padded to data axis 4 -> 8
+        assert lengths["x"] == 5
+
+
+class TestShardedOps:
+    def test_sharded_featurize_matches_local(self, mesh8):
+        def featurize(x):
+            return x.reshape(x.shape[0], -1) * 2.0
+
+        images = jax.random.uniform(jax.random.PRNGKey(0), (13, 4, 4, 3))
+        out = sharded_featurize(mesh8, featurize, images)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(featurize(images)), atol=1e-6)
+
+    def test_sharded_committee_matches_vmap(self, mesh8):
+        head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
+        d = 16
+        params = [head.init(jax.random.PRNGKey(i), jnp.zeros((1, d)),
+                            jnp.zeros((1, d))) for i in range(4)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        left = jax.random.normal(jax.random.PRNGKey(5), (9, d))
+        right = jax.random.normal(jax.random.PRNGKey(6), (9, d))
+        want = jnp.mean(
+            jax.vmap(lambda p: head.apply(p, left, right))(stacked), axis=0)
+        got = sharded_committee_probs(mesh8, head, stacked, left, right)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_committee_indivisible_raises(self, mesh8):
+        head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
+        params = [head.init(jax.random.PRNGKey(i), jnp.zeros((1, 8)),
+                            jnp.zeros((1, 8))) for i in range(3)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        with pytest.raises(ValueError):
+            sharded_committee_probs(mesh8, head, stacked,
+                                    jnp.zeros((2, 8)), jnp.zeros((2, 8)))
