@@ -23,6 +23,7 @@ from alink_tpu.detect.cascade import (  # noqa: F401
     MTCNNParams,
     align_faces,
     detect_faces,
+    detect_faces_limited,
     init_cascade_params,
     pyramid_scales,
 )

@@ -235,6 +235,30 @@ def detect_faces(
                       valid=valid)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_faces_limited(
+    params: MTCNNParams,
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: CascadeConfig = CascadeConfig(),
+) -> Detections:
+    """Refine known candidate boxes without the P-Net pyramid.
+
+    Reference: ``detect_face_limited`` (mtcnn_detector.py:192-305) — when a
+    rough face box is already available (e.g. dataset bboxes,
+    face_image records) the cascade starts at R-Net.  ``boxes``:
+    (N, K, 4) with (N, K) validity.
+    """
+    def single(img, b, v):
+        b = convert_to_square(b)
+        b2, s2, v2 = _stage2(params, img, b, jnp.ones(b.shape[0]), v, cfg)
+        return _stage3(params, img, b2, s2, v2, cfg)
+
+    bb, ss, vv, lmk = jax.vmap(single)(images, boxes, valid)
+    return Detections(boxes=bb, scores=ss, landmarks=lmk, valid=vv)
+
+
 @partial(jax.jit, static_argnames=("output_size",))
 def align_faces(
     images: jnp.ndarray,

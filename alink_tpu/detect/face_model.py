@@ -81,3 +81,12 @@ class FaceModel:
         """End-to-end pipeline: the ``siamese.ArcFace.process`` role
         (code/siamese.py:232-234) without the per-image Python loop."""
         return self.get_feature(self.get_input(images))
+
+    def get_ga(self, aligned: jnp.ndarray, ga_head, ga_params
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Gender/age estimation (face_model.py:95-107): embed the aligned
+        chips and decode the genderage head's 202-d output."""
+        from alink_tpu.models.genderage import decode_ga
+
+        feats = self.get_feature(aligned)
+        return decode_ga(ga_head.apply(ga_params, feats))

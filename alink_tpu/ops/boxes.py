@@ -93,9 +93,20 @@ def select_topk(
     budget: int,
     *extras: jnp.ndarray,
 ):
-    """Compact a masked candidate set into a (possibly smaller) budget by
-    score — the shape-static analogue of boolean indexing."""
+    """Compact a masked candidate set into a fixed budget by score — the
+    shape-static analogue of boolean indexing.  A budget larger than the
+    candidate count pads with invalid slots."""
     neg = jnp.finfo(scores.dtype).min
+    k = scores.shape[-1]
+    if budget > k:
+        pad = budget - k
+        boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+        scores = jnp.concatenate([scores, jnp.full((pad,), neg, scores.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        extras = tuple(
+            jnp.concatenate([e, jnp.zeros((pad,) + e.shape[1:], e.dtype)])
+            for e in extras
+        )
     masked = jnp.where(valid, scores, neg)
     top_scores, idx = jax.lax.top_k(masked, budget)
     new_valid = top_scores > neg

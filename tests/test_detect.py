@@ -184,3 +184,35 @@ class TestLNetRefine:
             delta = np.abs(np.asarray(refined.landmarks[0])[v]
                            - np.asarray(base.landmarks[0])[v])
             assert np.all(delta <= patch[:, None, None] + 1)
+
+
+class TestDetectLimited:
+    def test_limited_refines_given_boxes(self, cascade, small_cfg):
+        from alink_tpu.detect import detect_faces_limited
+
+        images = jax.random.uniform(jax.random.PRNGKey(11), (2, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        boxes = jnp.tile(jnp.array([[4.0, 4.0, 36.0, 40.0]]), (2, 4, 1))
+        valid = jnp.ones((2, 4), bool)
+        det = detect_faces_limited(cascade, images, boxes, valid, small_cfg)
+        assert det.boxes.shape == (2, small_cfg.stage3_budget, 4)
+        assert det.landmarks.shape == (2, small_cfg.stage3_budget, 5, 2)
+
+
+class TestGenderAge:
+    def test_decode_convention(self):
+        from alink_tpu.models.genderage import GenderAgeHead, decode_ga
+
+        out = np.zeros((1, 202), np.float32)
+        out[0, 1] = 5.0  # gender = 1
+        # age: make 30 of the 100 bins vote 1.
+        for i in range(30):
+            out[0, 2 + 2 * i + 1] = 5.0
+        gender, age = decode_ga(jnp.asarray(out))
+        assert int(gender[0]) == 1
+        assert int(age[0]) == 30
+
+        head = GenderAgeHead(dtype=jnp.float32)
+        params = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 512)))
+        y = head.apply(params, jnp.zeros((3, 512)))
+        assert y.shape == (3, 202)
