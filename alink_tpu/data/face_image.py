@@ -147,6 +147,46 @@ def get_dataset_fgnet(input_dir: str) -> list[FaceRecord]:
     return []
 
 
+def parse_lst_line(line: str) -> tuple[str, int, np.ndarray | None,
+                                       np.ndarray | None, int]:
+    """Parse an InsightFace .lst record (face_preprocess.py:6-26).
+
+    Tab-separated: ``aligned  image_path  label  [x1 y1 x2 y2
+    [lx1..lx5 ly1..ly5]]``; landmarks come as 2x5 column-major and are
+    returned as (5, 2) points.  Returns
+    ``(image_path, label, bbox, landmark, aligned)``.
+    """
+    vec = line.strip().split("\t")
+    assert len(vec) >= 3
+    aligned = int(vec[0])
+    image_path = vec[1]
+    label = int(vec[2])
+    bbox = landmark = None
+    if len(vec) > 3:
+        bbox = np.array([int(vec[i]) for i in range(3, 7)], np.int32)
+        if len(vec) > 7:
+            flat = np.array([float(vec[i]) for i in range(7, 17)])
+            landmark = flat.reshape(2, 5).T
+    return image_path, label, bbox, landmark, aligned
+
+
+def read_image(img_path: str, mode: str = "rgb",
+               layout: str = "HWC") -> np.ndarray:
+    """Image read with mode/layout options (face_preprocess.py:31-43),
+    PIL-backed instead of cv2."""
+    from PIL import Image
+
+    with Image.open(img_path) as im:
+        if mode == "gray":
+            return np.asarray(im.convert("L"))
+        arr = np.asarray(im.convert("RGB"))
+    if mode == "bgr":
+        arr = arr[..., ::-1]
+    if layout == "CHW":
+        arr = np.transpose(arr, (2, 0, 1))
+    return arr
+
+
 def get_dataset(name: str, input_dir: str) -> list[FaceRecord] | None:
     """Name dispatch (face_image.py:252-267)."""
     if name in ("webface",):

@@ -19,7 +19,6 @@ import argparse
 import dataclasses
 
 import jax
-import numpy as np
 
 from alink_tpu import train as T
 from alink_tpu.active.committee import Committee

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from alink_tpu import train as T
 from alink_tpu.active.committee import Committee
@@ -32,7 +31,7 @@ from alink_tpu.data import (
     split_disguise_data,
 )
 from alink_tpu.drivers import common
-from alink_tpu.drivers.alink import add_config_flags, parse_config
+from alink_tpu.drivers.alink import parse_config
 from alink_tpu.evaluation import gallery_top1
 from alink_tpu.models import SmallRes, preprocess
 from alink_tpu.ops.image import resize

@@ -13,7 +13,6 @@ learner directly.
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 from alink_tpu import train as T
 from alink_tpu.active import ActiveLearner

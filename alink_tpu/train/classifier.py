@@ -10,7 +10,6 @@ model.py:41-61).  Same schedule machinery as the siamese trainer
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -116,3 +116,36 @@ class TestFaceImage:
     def test_fgnet_stub_and_unknown(self, tmp_path):
         assert face_image.get_dataset("fgnet", str(tmp_path)) == []
         assert face_image.get_dataset("nope", str(tmp_path)) is None
+
+
+class TestLstLine:
+    def test_full_record(self):
+        line = "1\timg/a.jpg\t7\t1\t2\t30\t40\t" + "\t".join(
+            str(float(v)) for v in range(10, 20))
+        path, label, bbox, lmk, aligned = face_image.parse_lst_line(line)
+        assert (path, label, aligned) == ("img/a.jpg", 7, 1)
+        np.testing.assert_array_equal(bbox, [1, 2, 30, 40])
+        # 2x5 column-major -> (5, 2): x from first five, y from last five.
+        np.testing.assert_array_equal(lmk[:, 0], [10, 11, 12, 13, 14])
+        np.testing.assert_array_equal(lmk[:, 1], [15, 16, 17, 18, 19])
+
+    def test_minimal_record(self):
+        path, label, bbox, lmk, aligned = face_image.parse_lst_line(
+            "0\tx.jpg\t3")
+        assert bbox is None and lmk is None and aligned == 0
+
+    def test_read_image_modes(self, tmp_path):
+        from PIL import Image
+
+        arr = np.zeros((4, 6, 3), np.uint8)
+        arr[..., 0] = 200  # red
+        p = str(tmp_path / "x.png")
+        Image.fromarray(arr).save(p)
+        rgb = face_image.read_image(p)
+        assert rgb.shape == (4, 6, 3) and rgb[0, 0, 0] == 200
+        bgr = face_image.read_image(p, mode="bgr")
+        assert bgr[0, 0, 2] == 200
+        chw = face_image.read_image(p, layout="CHW")
+        assert chw.shape == (3, 4, 6)
+        gray = face_image.read_image(p, mode="gray")
+        assert gray.shape == (4, 6)
