@@ -328,6 +328,64 @@ class ALinkLoop:
         )
         self.state.flush_buffer()
 
+    # -- checkpoint / resume (greenfield; SURVEY.md section 5.4) ----------
+
+    def save(self, path: str) -> None:
+        """Checkpoint the full loop state: M2 params + optimizer, oracle
+        accounting, pool cursor and the pending training queue.  The
+        reference loses all of this on interruption (ALINK.py:135-143 keeps
+        it in process-local variables).
+
+        Layout: ``<path>/m2`` (structured: params + opt state, restored
+        against the live TrainState so optimizer containers round-trip) and
+        ``<path>/loop`` (raw arrays: counters + queue).
+        """
+        import os
+
+        from alink_tpu.train.checkpoint import save as ckpt_save
+
+        s = self.state
+        ckpt_save(os.path.join(path, "m2"),
+                  {"params": s.m2_state.params,
+                   "opt_state": s.m2_state.opt_state})
+        loop_tree = {
+            "counters": np.array([s.active_count, s.un_size, s.pool_cursor],
+                                 np.int64),
+        }
+        if s.buffer_size():
+            loop_tree["buffer_left"] = s.buffer_left
+            loop_tree["buffer_right"] = s.buffer_right
+            loop_tree["buffer_y"] = np.asarray(s.buffer_y, np.int32)
+        ckpt_save(os.path.join(path, "loop"), loop_tree)
+
+    def restore(self, path: str) -> bool:
+        """Resume from a ``save`` checkpoint; returns False if absent."""
+        import os
+
+        from alink_tpu.train.checkpoint import maybe_restore
+
+        s = self.state
+        m2_tree, ok = maybe_restore(
+            os.path.join(path, "m2"),
+            {"params": s.m2_state.params, "opt_state": s.m2_state.opt_state},
+        )
+        loop_tree, ok2 = maybe_restore(os.path.join(path, "loop"))
+        if not (ok and ok2):
+            return False
+        s.m2_state = s.m2_state.replace(params=m2_tree["params"],
+                                        opt_state=m2_tree["opt_state"])
+        counters = np.asarray(loop_tree["counters"])
+        s.active_count = int(counters[0])
+        s.un_size = int(counters[1])
+        s.pool_cursor = int(counters[2])
+        if "buffer_y" in loop_tree:
+            s.buffer_left = np.asarray(loop_tree["buffer_left"])
+            s.buffer_right = np.asarray(loop_tree["buffer_right"])
+            s.buffer_y = np.asarray(loop_tree["buffer_y"])
+        else:
+            s.flush_buffer()
+        return True
+
     # -- full run --------------------------------------------------------
 
     def run(

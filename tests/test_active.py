@@ -256,3 +256,34 @@ class TestALinkLoop:
         loop, plain, dig = self._setup(augment=True)
         loop.run(plain, dig)
         assert loop.state.un_size > 0
+
+
+class TestLoopCheckpoint:
+    def test_save_restore_resume(self, tmp_path):
+        helper = TestALinkLoop()
+        loop, plain, dig = helper._setup()
+        # Run two iterations, checkpoint, then resume into a fresh loop.
+        loop.run_iteration(plain.take_people([0, 1]),
+                           dig.take_people([0, 1]))
+        loop.state.pool_cursor = 2
+        path = str(tmp_path / "loop_ck")
+        loop.save(path)
+
+        loop2, _, _ = helper._setup()
+        assert loop2.restore(path)
+        assert loop2.state.active_count == loop.state.active_count
+        assert loop2.state.un_size == loop.state.un_size
+        assert loop2.state.pool_cursor == 2
+        assert loop2.state.buffer_size() == loop.state.buffer_size()
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(loop2.state.m2_state.params)[0]),
+            np.asarray(jax.tree.leaves(loop.state.m2_state.params)[0]),
+        )
+        # Resumed loop continues from the cursor.
+        state = loop2.run(plain, dig)
+        assert state.pool_cursor >= 2
+
+    def test_restore_missing_returns_false(self, tmp_path):
+        helper = TestALinkLoop()
+        loop, _, _ = helper._setup()
+        assert not loop.restore(str(tmp_path / "nope"))
