@@ -118,7 +118,8 @@ def fit_classifier(
     for epoch in range(epochs):
         key, kperm = jax.random.split(key)
         perm = jax.random.permutation(kperm, n_train)
-        tl = ta = 0.0
+        # Device-side accumulation: one host fetch per epoch, not per step.
+        tl = ta = jnp.float32(0.0)
         for s in range(steps):
             idx = perm[s * batch_size:(s + 1) * batch_size]
             key, kd = jax.random.split(key)
@@ -127,8 +128,9 @@ def fit_classifier(
                 key, ka = jax.random.split(key)
                 bx = augment_fn(ka, bx)
             state, loss, acc = classifier_train_step(state, bx, ty[idx], kd)
-            tl += float(loss)
-            ta += float(acc)
+            tl += loss
+            ta += acc
+        tl, ta = float(tl), float(ta)
         if n_val:
             vl, va = classifier_eval_step(state, vx, vy)
             vl, va = float(vl), float(va)

@@ -230,15 +230,18 @@ def fit(
     for epoch in range(epochs):
         key, kperm = jax.random.split(key)
         perm = jax.random.permutation(kperm, n_train)
-        tloss = tacc = 0.0
+        # Metrics accumulate on device; one host fetch per epoch (a
+        # per-step float() costs a full host round trip on remote devices).
+        tloss = tacc = jnp.float32(0.0)
         for s in range(steps):
             idx = perm[s * batch_size:(s + 1) * batch_size]
             key, kd = jax.random.split(key)
             state, loss, acc = train_step(
                 state, tl[idx], tr[idx], ty[idx], kd, weighted=weighted
             )
-            tloss += float(loss)
-            tacc += float(acc)
+            tloss += loss
+            tacc += acc
+        tloss, tacc = float(tloss), float(tacc)
         if n_val:
             vloss, vacc = eval_step(state, vl, vr, vy)
             vloss, vacc = float(vloss), float(vacc)
@@ -275,7 +278,7 @@ def custom_train(
     steps_per_epoch = int(n_steps / batch_size)
     logs: list[EpochLog] = []
     for eno in range(epochs):
-        tloss = tacc = vloss = vacc = 0.0
+        tloss = tacc = vloss = vacc = jnp.float32(0.0)
         for _ in range(steps_per_epoch):
             (xl, xr), y = next(data_iter)
             if preprocess is not None:
@@ -288,14 +291,16 @@ def custom_train(
             state, loss, acc = train_step(
                 state, xl[tr_idx], xr[tr_idx], y[tr_idx], kd, weighted=True
             )
-            tloss += float(loss)
-            tacc += float(acc)
+            tloss += loss
+            tacc += acc
             if split:
                 vl, va = eval_step(state, xl[va_idx], xr[va_idx], y[va_idx])
-                vloss += float(vl)
-                vacc += float(va)
-        log = EpochLog(eno, tloss / steps_per_epoch, tacc / steps_per_epoch,
-                       vloss / steps_per_epoch, vacc / steps_per_epoch,
+                vloss += vl
+                vacc += va
+        log = EpochLog(eno, float(tloss) / steps_per_epoch,
+                       float(tacc) / steps_per_epoch,
+                       float(vloss) / steps_per_epoch,
+                       float(vacc) / steps_per_epoch,
                        state.learning_rate)
         logs.append(log)
         if log_fn:
