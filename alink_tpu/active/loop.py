@@ -128,9 +128,11 @@ class ALinkLoop:
         adversarial_predict: Callable | None = None,
         adversarial_kwargs: dict | None = None,
         pair_builder: Callable = all_pairs_minibatch,
+        metrics=None,
         key: jax.Array | None = None,
     ):
         self.pair_builder = pair_builder
+        self.metrics = metrics  # optional utils.metrics.MetricsLogger
         self.config = config
         self.featurize = featurize
         self.student_featurize = (
@@ -274,6 +276,9 @@ class ALinkLoop:
             finetuned=finetuned,
         )
         self.logs.append(log)
+        if self.metrics is not None:
+            # "Active Count so far" telemetry (ALINK.py:204), structured.
+            self.metrics.log("alink_iteration", **log._asdict())
         return log
 
     def _finetune(self, left_raw, right_raw, sfl, sfr, queried, pseudo):
