@@ -64,13 +64,19 @@ def _decode_one(path: str, image_res: tuple[int, int]) -> np.ndarray:
     """PIL decode -> RGB float32 -> bilinear resize to (w, h).
 
     ``image_res`` follows the reference's cv2 convention of (width, height)
-    (readDFW.py:82 passes cv2.resize's dsize).
+    (readDFW.py:82 passes cv2.resize's dsize).  Corrupt/missing files
+    decode to zeros — the reference tolerates them with try/except around
+    the decode (readDFW.py:81-96); a zero slot keeps shapes static.
     """
-    img = Image.open(path).convert("RGB")
     w, h = image_res
-    if img.size != (w, h):
-        img = img.resize((w, h), Image.BILINEAR)
-    return np.asarray(img, dtype=np.float32)
+    try:
+        img = Image.open(path).convert("RGB")
+        if img.size != (w, h):
+            img = img.resize((w, h), Image.BILINEAR)
+        return np.asarray(img, dtype=np.float32)
+    except Exception as exc:  # noqa: BLE001 — decode resilience by design
+        print(f"decode failed ({exc}): {path}")
+        return np.zeros((h, w, 3), np.float32)
 
 
 def load_image_list(

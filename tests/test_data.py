@@ -181,3 +181,22 @@ class TestEndToEnd:
         d_gen = np.mean(np.abs(left[y == 1] - right[y == 1]))
         d_imp = np.mean(np.abs(left[y == 0] - right[y == 0]))
         assert d_gen < d_imp
+
+
+class TestDecodeResilience:
+    def test_corrupt_file_zero_filled(self, tmp_path):
+        """Corrupt images decode to zero slots instead of raising
+        (readDFW.py:81-96 tolerates decode failures)."""
+        from alink_tpu.data.loader import load_image_list
+        from PIL import Image as PILImage
+
+        good = str(tmp_path / "good.jpg")
+        PILImage.fromarray(
+            np.full((10, 10, 3), 200, np.uint8)).save(good)
+        bad = str(tmp_path / "bad.jpg")
+        with open(bad, "wb") as f:
+            f.write(b"not an image")
+        out = load_image_list([good, bad], (8, 8), backend="pil")
+        assert out.shape == (2, 8, 8, 3)
+        assert out[0].mean() > 100
+        assert out[1].sum() == 0.0
