@@ -221,15 +221,20 @@ class ALinkLoop:
             )
         k_noise = noisy_l.shape[0]
 
-        # Student under every channel (ALINK.py:167-170).
-        student_inputs = []
-        probs = []
+        # Student under every channel (ALINK.py:167-170).  All K channels
+        # are mapped into student space as ONE flattened batch (the
+        # reference re-featurizes channel by channel, ALINK.py:167).
         with self.timings.phase("student"):
-            for k in range(k_noise):
-                li, ri = self._student_inputs(noisy_l[k], noisy_r[k])
-                student_inputs.append((li, ri))
-                probs.append(self._student_probs(li, ri))
-            student_probs = jnp.stack(probs)  # (K, N)
+            flat_l = noisy_l.reshape((-1,) + noisy_l.shape[2:])
+            flat_r = noisy_r.reshape((-1,) + noisy_r.shape[2:])
+            sli, sri = self._student_inputs(flat_l, flat_r)
+            flat_probs = self._student_probs(sli, sri)  # (K*N,)
+            student_probs = flat_probs.reshape(k_noise, n)
+            student_inputs = [
+                (sli.reshape((k_noise, n) + sli.shape[1:])[k],
+                 sri.reshape((k_noise, n) + sri.shape[1:])[k])
+                for k in range(k_noise)
+            ]
 
         with self.timings.phase("select", block_on=student_probs):
             sel = select_queries(
