@@ -91,8 +91,9 @@ class Committee:
         ``adversarial_params`` (traced), and the committee's one-hot
         ``m1_labels`` (ALINK.py:163-164).
         """
+        model_channels = ("adversarial", "fgsm")
         plain_names = tuple(n for n in self.noise_names
-                            if n != "adversarial")
+                            if n not in model_channels)
         outs_l, outs_r = [], []
         if plain_names:
             kb, key = jax.random.split(key)
@@ -103,17 +104,23 @@ class Committee:
         by_name = dict(zip(plain_names, range(len(plain_names))))
         ordered_l, ordered_r = [], []
         for name in self.noise_names:
-            if name == "adversarial":
+            if name in model_channels:
                 if adversarial_predict is None or m1_labels is None:
                     raise ValueError(
-                        "adversarial channel requires adversarial_predict "
+                        f"{name} channel requires adversarial_predict "
                         "and m1_labels"
                     )
-                ka, key = jax.random.split(key)
-                al, ar = attack_ops.one_pixel_attack_pairs(
-                    adversarial_predict, adversarial_params, left, right,
-                    m1_labels, ka, **(adversarial_kwargs or {}),
-                )
+                if name == "adversarial":
+                    ka, key = jax.random.split(key)
+                    al, ar = attack_ops.one_pixel_attack_pairs(
+                        adversarial_predict, adversarial_params, left, right,
+                        m1_labels, ka, **(adversarial_kwargs or {}),
+                    )
+                else:  # fgsm (BASELINE.json scope: FGSM + DE one-pixel)
+                    al, ar = attack_ops.fgsm_pairs(
+                        adversarial_predict, adversarial_params, left, right,
+                        m1_labels,
+                    )
                 ordered_l.append(al)
                 ordered_r.append(ar)
             else:

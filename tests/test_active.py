@@ -287,3 +287,21 @@ class TestLoopCheckpoint:
         helper = TestALinkLoop()
         loop, _, _ = helper._setup()
         assert not loop.restore(str(tmp_path / "nope"))
+
+
+class TestFGSMChannel:
+    def test_fgsm_in_noise_bank(self):
+        helper = TestALinkLoop()
+        loop, plain, dig = helper._setup(noise_names=("gaussian", "fgsm"))
+
+        def adv_predict(params, l, r):
+            fl = _identity_featurize(l)
+            fr = _identity_featurize(r)
+            from alink_tpu.ops.pairwise import pair_scores
+            p = pair_scores(params, fl, fr)
+            return jnp.stack([1 - p, p], -1)
+
+        loop.adversarial_predict = adv_predict
+        log = loop.run_iteration(plain.take_people([0, 1]),
+                                 dig.take_people([0, 1]))
+        assert log.pairs > 0
