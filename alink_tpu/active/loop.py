@@ -129,10 +129,14 @@ class ALinkLoop:
         adversarial_kwargs: dict | None = None,
         pair_builder: Callable = all_pairs_minibatch,
         metrics=None,
+        device_batch: int = 1024,
         key: jax.Array | None = None,
     ):
         self.pair_builder = pair_builder
         self.metrics = metrics  # optional utils.metrics.MetricsLogger
+        # Pairs processed per device pass; bounds HBM regardless of the
+        # all-pairs batch size (reference predict bs, siamese.py:131).
+        self.device_batch = device_batch
         self.config = config
         self.featurize = featurize
         self.student_featurize = (
@@ -184,24 +188,14 @@ class ALinkLoop:
 
     # -- one slab --------------------------------------------------------
 
-    def run_iteration(
-        self,
-        plain_part: PersonStacks,
-        dig_part: PersonStacks,
-    ) -> IterationLog:
-        cfg = self.config
-        with self.timings.phase("pairs"):
-            left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
-        n = len(y)
-        self.state.un_size += n  # ALINK.py:154
-
-        # M1 on clean features (ALINK.py:157-160).
+    def _process_chunk(self, left_raw, right_raw):
+        """Device pass for one fixed-size pair chunk: M1 features/probs,
+        noise fan-out, student probs.  Returns host arrays."""
         with self.timings.phase("featurize"):
             fl = self.featurize(jnp.asarray(left_raw))
             fr = self.featurize(jnp.asarray(right_raw))
         with self.timings.phase("committee"):
             m1_probs2 = self.committee.predict(fl, fr)
-        m1_genuine = m1_probs2[:, 1]
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
         # Noise fan-out on raw pixels, resized to the student's resolution
@@ -219,27 +213,62 @@ class ALinkLoop:
                 adversarial_params=self.state.m2_state.params,
                 adversarial_kwargs=self.adversarial_kwargs,
             )
-        k_noise = noisy_l.shape[0]
+        k_noise, nc = noisy_l.shape[0], noisy_l.shape[1]
 
-        # Student under every channel (ALINK.py:167-170).  All K channels
-        # are mapped into student space as ONE flattened batch (the
-        # reference re-featurizes channel by channel, ALINK.py:167).
+        # Student under every channel (ALINK.py:167-170), all K channels as
+        # ONE flattened batch (the reference re-featurizes channel by
+        # channel, ALINK.py:167).
         with self.timings.phase("student"):
             flat_l = noisy_l.reshape((-1,) + noisy_l.shape[2:])
             flat_r = noisy_r.reshape((-1,) + noisy_r.shape[2:])
             sli, sri = self._student_inputs(flat_l, flat_r)
-            flat_probs = self._student_probs(sli, sri)  # (K*N,)
-            student_probs = flat_probs.reshape(k_noise, n)
-            student_inputs = [
-                (sli.reshape((k_noise, n) + sli.shape[1:])[k],
-                 sri.reshape((k_noise, n) + sri.shape[1:])[k])
-                for k in range(k_noise)
-            ]
+            flat_probs = self._student_probs(sli, sri)  # (K*nc,)
+        return (
+            np.asarray(m1_probs2[:, 1]),
+            np.asarray(flat_probs).reshape(k_noise, nc),
+            np.asarray(sli).reshape((k_noise, nc) + sli.shape[1:]),
+            np.asarray(sri).reshape((k_noise, nc) + sri.shape[1:]),
+        )
 
-        with self.timings.phase("select", block_on=student_probs):
+    def run_iteration(
+        self,
+        plain_part: PersonStacks,
+        dig_part: PersonStacks,
+    ) -> IterationLog:
+        cfg = self.config
+        with self.timings.phase("pairs"):
+            left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
+        n = len(y)
+        self.state.un_size += n  # ALINK.py:154
+
+        # Device work runs over fixed-size pair chunks so HBM use is
+        # bounded regardless of the all-pairs batch size (the reference
+        # chunks its predicts at bs 1024 too, siamese.py:131); the final
+        # chunk is padded to keep one compiled program.
+        db = min(self.device_batch, n)
+        m1_chunks, probs_chunks, sl_chunks, sr_chunks = [], [], [], []
+        for s in range(0, n, db):
+            idx = np.arange(s, min(s + db, n))
+            pad = db - idx.size
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, idx[-1])])
+            m1c, pc, slc, src = self._process_chunk(left_raw[idx],
+                                                    right_raw[idx])
+            take = db - pad
+            m1_chunks.append(m1c[:take])
+            probs_chunks.append(pc[:, :take])
+            sl_chunks.append(slc[:, :take])
+            sr_chunks.append(src[:, :take])
+        m1_genuine = np.concatenate(m1_chunks)
+        student_probs = np.concatenate(probs_chunks, axis=1)  # (K, N)
+        student_left = np.concatenate(sl_chunks, axis=1)
+        student_right = np.concatenate(sr_chunks, axis=1)
+        k_noise = student_probs.shape[0]
+
+        with self.timings.phase("select"):
             sel = select_queries(
-                student_probs,
-                m1_genuine,
+                jnp.asarray(student_probs),
+                jnp.asarray(m1_genuine),
                 jnp.asarray(y, jnp.float32),
                 disparity_ratio=cfg.disparity_ratio,
                 blind_strategy=cfg.blind_strategy,
@@ -257,16 +286,18 @@ class ALinkLoop:
             if mp:
                 for k in range(k_noise):
                     share = queried[k * mp:(k + 1) * mp]
-                    li, ri = student_inputs[k]
                     self.state.append_buffer(
-                        np.asarray(li)[share], np.asarray(ri)[share],
+                        student_left[k][share], student_right[k][share],
                         pseudo[k * mp:(k + 1) * mp],
                     )
             if self.state.buffer_size() >= cfg.batch_send:
                 finetuned = True
                 with self.timings.phase("finetune"):
-                    clean_l = resize(jnp.asarray(left_raw), self.student_res)
-                    clean_r = resize(jnp.asarray(right_raw), self.student_res)
+                    # Clean student inputs only for the queried pairs.
+                    clean_l = resize(jnp.asarray(left_raw[queried]),
+                                     self.student_res)
+                    clean_r = resize(jnp.asarray(right_raw[queried]),
+                                     self.student_res)
                     sfl, sfr = self._student_inputs(clean_l, clean_r)
                     self._finetune(left_raw, right_raw, sfl, sfr, queried,
                                    pseudo)
@@ -312,9 +343,9 @@ class ALinkLoop:
             parts_y.append(np.argmax(np.asarray(ay), axis=-1))
         else:
             # Clean (un-noised) versions of the queried pairs
-            # (ALINK.py:247-250).
-            parts_l.append(np.asarray(sfl)[queried])
-            parts_r.append(np.asarray(sfr)[queried])
+            # (ALINK.py:247-250); sfl/sfr are already the queried subset.
+            parts_l.append(np.asarray(sfl))
+            parts_r.append(np.asarray(sfr))
             parts_y.append(pseudo)
 
         if self.replay_gen is not None:

@@ -305,3 +305,21 @@ class TestFGSMChannel:
         log = loop.run_iteration(plain.take_people([0, 1]),
                                  dig.take_people([0, 1]))
         assert log.pairs > 0
+
+
+class TestDeviceChunking:
+    def test_chunked_matches_whole(self):
+        """Chunked device passes (device_batch < N) must yield the same
+        selection as one pass."""
+        helper = TestALinkLoop()
+        loop_a, plain, dig = helper._setup()
+        loop_b, _, _ = helper._setup()
+        loop_b.device_batch = 8  # pairs per slab = 32 -> 4 chunks
+        la = loop_a.run_iteration(plain.take_people([0, 1]),
+                                  dig.take_people([0, 1]))
+        lb = loop_b.run_iteration(plain.take_people([0, 1]),
+                                  dig.take_people([0, 1]))
+        # Noise draws use the same key stream but different batch shapes,
+        # so noisy pixels differ; deterministic fields must agree.
+        assert la.pairs == lb.pairs
+        assert la.un_size == lb.un_size
