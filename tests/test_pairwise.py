@@ -113,3 +113,18 @@ def test_identification_topk(head_and_params):
     assert vals.shape == (11, 3)
     assert idx.shape == (11, 3)
     assert bool(jnp.all(vals[:, 0] >= vals[:, 1]))
+
+
+def test_pallas_multi_block_grid(head_and_params):
+    """Multiple row AND column tiles — regression for the column index_map
+    bug that only manifested with >1 column block."""
+    _, params = head_and_params
+    rows = jax.random.normal(jax.random.PRNGKey(7), (20, 96))
+    cols = jax.random.normal(jax.random.PRNGKey(8), (300, 96))
+    xla = pairwise.score_matrix_xla(params, rows, cols, row_block=16,
+                                    col_block=64)
+    pls = pairwise.score_matrix_pallas(params, rows, cols, row_block=8,
+                                       col_block=128, d_chunk=96,
+                                       interpret=True)
+    assert pls.shape == (20, 300)
+    assert jnp.max(jnp.abs(xla - pls)) < 2e-2
