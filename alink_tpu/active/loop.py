@@ -40,7 +40,7 @@ from alink_tpu.active.committee import Committee
 from alink_tpu.active.selection import select_queries
 from alink_tpu.config import ALinkConfig
 from alink_tpu.data.loader import PersonStacks
-from alink_tpu.data.pairs import all_pairs_minibatch
+from alink_tpu.data.pairs import all_pairs_index
 from alink_tpu.ops.augment import augment_pairs
 from alink_tpu.ops.image import resize
 from alink_tpu.ops.pairwise import pair_scores
@@ -127,7 +127,7 @@ class ALinkLoop:
         replay_gen: Iterator | None = None,
         adversarial_predict: Callable | None = None,
         adversarial_kwargs: dict | None = None,
-        pair_builder: Callable = all_pairs_minibatch,
+        pair_builder: Callable = all_pairs_index,
         metrics=None,
         device_batch: int = 1024,
         key: jax.Array | None = None,
@@ -190,10 +190,12 @@ class ALinkLoop:
 
     def _process_chunk(self, left_raw, right_raw):
         """Device pass for one fixed-size pair chunk: M1 features/probs,
-        noise fan-out, student probs.  Returns host arrays."""
+        noise fan-out, student probs.  Inputs are device arrays (gathered
+        from the resident image pool); returns small host arrays plus the
+        student inputs still on device."""
         with self.timings.phase("featurize"):
-            fl = self.featurize(jnp.asarray(left_raw))
-            fr = self.featurize(jnp.asarray(right_raw))
+            fl = self.featurize(left_raw)
+            fr = self.featurize(right_raw)
         with self.timings.phase("committee"):
             m1_probs2 = self.committee.predict(fl, fr)
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
@@ -205,8 +207,8 @@ class ALinkLoop:
         with self.timings.phase("noise_attack"):
             noisy_l, noisy_r = self.committee.attack_model(
                 self._next_key(),
-                jnp.asarray(left_raw),
-                jnp.asarray(right_raw),
+                left_raw,
+                right_raw,
                 self.student_res,
                 m1_labels=m1_labels,
                 adversarial_predict=self.adversarial_predict,
@@ -226,8 +228,8 @@ class ALinkLoop:
         return (
             np.asarray(m1_probs2[:, 1]),
             np.asarray(flat_probs).reshape(k_noise, nc),
-            np.asarray(sli).reshape((k_noise, nc) + sli.shape[1:]),
-            np.asarray(sri).reshape((k_noise, nc) + sri.shape[1:]),
+            sli.reshape((k_noise, nc) + sli.shape[1:]),
+            sri.reshape((k_noise, nc) + sri.shape[1:]),
         )
 
     def run_iteration(
@@ -237,7 +239,11 @@ class ALinkLoop:
     ) -> IterationLog:
         cfg = self.config
         with self.timings.phase("pairs"):
-            left_raw, right_raw, y = self.pair_builder(plain_part, dig_part)
+            # Pairs as index space (SURVEY.md section 7): the image pool
+            # uploads ONCE; every pair materialises as a device gather.
+            flat_images, left_idx, right_idx, y = self.pair_builder(
+                plain_part, dig_part)
+            pool = jnp.asarray(flat_images)
         n = len(y)
         self.state.un_size += n  # ALINK.py:154
 
@@ -247,23 +253,41 @@ class ALinkLoop:
         # chunk is padded to keep one compiled program.
         db = min(self.device_batch, n)
         m1_chunks, probs_chunks, sl_chunks, sr_chunks = [], [], [], []
+        chunk_spans = []
         for s in range(0, n, db):
             idx = np.arange(s, min(s + db, n))
-            pad = db - idx.size
+            take = idx.size
+            pad = db - take
             if pad:
                 idx = np.concatenate([idx, np.full(pad, idx[-1])])
-            m1c, pc, slc, src = self._process_chunk(left_raw[idx],
-                                                    right_raw[idx])
-            take = db - pad
+            m1c, pc, slc, src = self._process_chunk(
+                pool[jnp.asarray(left_idx[idx])],
+                pool[jnp.asarray(right_idx[idx])],
+            )
             m1_chunks.append(m1c[:take])
             probs_chunks.append(pc[:, :take])
-            sl_chunks.append(slc[:, :take])
-            sr_chunks.append(src[:, :take])
+            sl_chunks.append(slc)   # device, padded — gathered post-select
+            sr_chunks.append(src)
+            chunk_spans.append((s, take))
         m1_genuine = np.concatenate(m1_chunks)
         student_probs = np.concatenate(probs_chunks, axis=1)  # (K, N)
-        student_left = np.concatenate(sl_chunks, axis=1)
-        student_right = np.concatenate(sr_chunks, axis=1)
         k_noise = student_probs.shape[0]
+
+        def gather_student(noise_k: int, rows: np.ndarray) -> np.ndarray:
+            """Fetch student inputs for selected pair rows (device-resident
+            chunks -> host, only for the queried handful)."""
+            out = []
+            for (start, take), slc, src in zip(chunk_spans, sl_chunks,
+                                               sr_chunks):
+                local = rows[(rows >= start) & (rows < start + take)] - start
+                if local.size:
+                    out.append((
+                        np.asarray(slc[noise_k][jnp.asarray(local)]),
+                        np.asarray(src[noise_k][jnp.asarray(local)]),
+                    ))
+            ls = np.concatenate([o[0] for o in out]) if out else None
+            rs = np.concatenate([o[1] for o in out]) if out else None
+            return ls, rs
 
         with self.timings.phase("select"):
             sel = select_queries(
@@ -285,22 +309,22 @@ class ALinkLoop:
             mp = queried.size // k_noise
             if mp:
                 for k in range(k_noise):
-                    share = queried[k * mp:(k + 1) * mp]
+                    share = np.sort(queried[k * mp:(k + 1) * mp])
+                    ls, rs = gather_student(k, share)
                     self.state.append_buffer(
-                        student_left[k][share], student_right[k][share],
-                        pseudo[k * mp:(k + 1) * mp],
-                    )
+                        ls, rs, pseudo[k * mp:(k + 1) * mp])
             if self.state.buffer_size() >= cfg.batch_send:
                 finetuned = True
                 with self.timings.phase("finetune"):
-                    # Clean student inputs only for the queried pairs.
-                    clean_l = resize(jnp.asarray(left_raw[queried]),
-                                     self.student_res)
-                    clean_r = resize(jnp.asarray(right_raw[queried]),
-                                     self.student_res)
-                    sfl, sfr = self._student_inputs(clean_l, clean_r)
-                    self._finetune(left_raw, right_raw, sfl, sfr, queried,
-                                   pseudo)
+                    # Clean raw pairs only for the queried rows (device
+                    # gather from the resident pool).
+                    ql = pool[jnp.asarray(left_idx[queried])]
+                    qr = pool[jnp.asarray(right_idx[queried])]
+                    sfl, sfr = self._student_inputs(
+                        resize(ql, self.student_res),
+                        resize(qr, self.student_res),
+                    )
+                    self._finetune(ql, qr, sfl, sfr, pseudo)
 
         log = IterationLog(
             iteration=len(self.logs),
@@ -317,10 +341,11 @@ class ALinkLoop:
             self.metrics.log("alink_iteration", **log._asdict())
         return log
 
-    def _finetune(self, left_raw, right_raw, sfl, sfr, queried, pseudo):
+    def _finetune(self, left_raw, right_raw, sfl, sfr, pseudo):
         """Buffer + clean/augment + replay mix, then finetune M2
-        (ALINK.py:227-253).  ``sfl``/``sfr`` are the clean pairs already in
-        the student's input space."""
+        (ALINK.py:227-253).  All four pair arguments are the queried
+        subset: raw pixels (``left_raw``/``right_raw``) and their clean
+        student-space versions (``sfl``/``sfr``)."""
         cfg = self.config
         parts_l = [self.state.buffer_left]
         parts_r = [self.state.buffer_right]
@@ -331,8 +356,8 @@ class ALinkLoop:
             # (ALINK.py:241-245 augments pixels and re-featurizes).
             al, ar, ay = augment_pairs(
                 self._next_key(),
-                jnp.asarray(left_raw)[queried],
-                jnp.asarray(right_raw)[queried],
+                jnp.asarray(left_raw),
+                jnp.asarray(right_raw),
                 jax.nn.one_hot(jnp.asarray(pseudo), 2),
             )
             ali, ari = self._student_inputs(

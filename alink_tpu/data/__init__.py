@@ -24,9 +24,11 @@ from alink_tpu.data.manifest import (  # noqa: F401
 )
 from alink_tpu.data.loader import PersonStacks, load_person_stacks  # noqa: F401
 from alink_tpu.data.pairs import (  # noqa: F401
+    all_pairs_index,
     all_pairs_minibatch,
     balanced_pair_batches,
     gather_pairs,
+    mtp_all_pairs_index,
     mtp_all_pairs_minibatch,
     split_disguise_data,
 )

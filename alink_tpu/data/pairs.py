@@ -169,6 +169,46 @@ def balanced_pair_batches(
         yield (left[perm], right[perm]), y[perm]
 
 
+def all_pairs_index(
+    plain: PersonStacks, dig: PersonStacks
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``createMiniBatch`` as pure index computation over a single flat
+    image pool (readDFW.py:222-244 without materialising any pair).
+
+    Returns ``(flat_images, left_idx, right_idx, labels)``: the
+    concatenated (plain then disguised) image pool of shape
+    (P_a*S_a + P_b*S_b, ...) and flat gather indices per pair.  Pixels are
+    duplicated only at gather time — on device — so a pair batch uploads
+    each image once instead of once per pair.
+    """
+    sa = plain.max_stack
+    sb = dig.max_stack
+    off = plain.num_people * sa
+    flat = np.concatenate([
+        plain.images.reshape((-1,) + plain.images.shape[2:]),
+        dig.images.reshape((-1,) + dig.images.shape[2:]),
+    ])
+    g1 = _grid_indices(plain.counts, dig.counts)
+    g2 = _grid_indices(dig.counts, dig.counts)
+    li = np.concatenate([g1[0] * sa + g1[1], off + g2[0] * sb + g2[1]])
+    ri = np.concatenate([off + g1[2] * sb + g1[3],
+                         off + g2[2] * sb + g2[3]])
+    y = np.concatenate([g1[4], g2[4]])
+    return flat, li.astype(np.int32), ri.astype(np.int32), y
+
+
+def mtp_all_pairs_index(
+    stacks: PersonStacks,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``readMTP.createMiniBatch`` as index computation (single group)."""
+    s = stacks.max_stack
+    flat = stacks.images.reshape((-1,) + stacks.images.shape[2:])
+    g = _grid_indices(stacks.counts, stacks.counts)
+    li = (g[0] * s + g[1]).astype(np.int32)
+    ri = (g[2] * s + g[3]).astype(np.int32)
+    return flat, li, ri, g[4]
+
+
 def split_disguise_data(
     stacks: PersonStacks, pre_ratio: float = 0.5
 ) -> tuple[PersonStacks, PersonStacks]:

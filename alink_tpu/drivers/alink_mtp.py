@@ -26,7 +26,7 @@ from alink_tpu.config import MTPConfig
 from alink_tpu.data import (
     balanced_pair_batches,
     load_person_stacks,
-    mtp_all_pairs_minibatch,
+    mtp_all_pairs_index,
     scan_mtp,
     split_disguise_data,
 )
@@ -150,7 +150,7 @@ def run_alink_mtp(
         replay_gen=replay,
         adversarial_predict=(adversarial_predict
                              if "adversarial" in config.noise else None),
-        pair_builder=lambda plain, _dig: mtp_all_pairs_minibatch(plain),
+        pair_builder=lambda plain, _dig: mtp_all_pairs_index(plain),
         key=next(keys),
     )
     state = loop.run(hi_post, hi_post)
