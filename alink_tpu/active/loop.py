@@ -225,9 +225,11 @@ class ALinkLoop:
             flat_r = noisy_r.reshape((-1,) + noisy_r.shape[2:])
             sli, sri = self._student_inputs(flat_l, flat_r)
             flat_probs = self._student_probs(sli, sri)  # (K*nc,)
+        # Probabilities stay on device; the caller concatenates across
+        # chunks and fetches once (each host fetch is a full round trip).
         return (
-            np.asarray(m1_probs2[:, 1]),
-            np.asarray(flat_probs).reshape(k_noise, nc),
+            m1_probs2[:, 1],
+            flat_probs.reshape(k_noise, nc),
             sli.reshape((k_noise, nc) + sli.shape[1:]),
             sri.reshape((k_noise, nc) + sri.shape[1:]),
         )
@@ -269,8 +271,8 @@ class ALinkLoop:
             sl_chunks.append(slc)   # device, padded — gathered post-select
             sr_chunks.append(src)
             chunk_spans.append((s, take))
-        m1_genuine = np.concatenate(m1_chunks)
-        student_probs = np.concatenate(probs_chunks, axis=1)  # (K, N)
+        m1_genuine = jnp.concatenate(m1_chunks)
+        student_probs = jnp.concatenate(probs_chunks, axis=1)  # (K, N)
         k_noise = student_probs.shape[0]
 
         def gather_student(noise_k: int, rows: np.ndarray) -> np.ndarray:
