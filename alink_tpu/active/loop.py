@@ -127,7 +127,7 @@ class ALinkLoop:
         replay_gen: Iterator | None = None,
         adversarial_predict: Callable | None = None,
         adversarial_kwargs: dict | None = None,
-        pair_builder: Callable = all_pairs_index,
+        pair_builder: Callable = all_pairs_index,  # -> (pool, li, ri, y)
         metrics=None,
         device_batch: int = 1024,
         key: jax.Array | None = None,
