@@ -36,6 +36,14 @@ def _sync(x) -> float:
 
 
 def main() -> None:
+    try:
+        # Persistent compile cache: repeated driver runs skip the ~minutes
+        # of remote AOT compilation.
+        jax.config.update("jax_compilation_cache_dir", "/tmp/alink_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from alink_tpu.models import ArcFaceResNet100
 
     on_tpu = jax.default_backend() == "tpu"
