@@ -5,8 +5,10 @@ Reference: ``code/ALINK.py`` (flags :37-62, main :65-265).  Same staging:
 1. featurize DFW person stacks with the 2048-d teacher backbone;
 2. split the disguised pool (``--split_ratio``) into an M2-pretraining half
    and the unlabeled loop pool;
-3. train-or-load the student M2 (``--train_disguised_model`` stages and
-   exits like the reference) and the M1 ensemble (``--refine_models``);
+3. train-or-load the student M2 (``--train_disguised_model`` forces a
+   (re)train+save; the reference additionally exits afterwards,
+   ALINK.py:108-110 — here the run simply continues) and the M1 ensemble
+   (``--refine_models``);
 4. run the A-LINK loop (active.loop) and save the post-A-LINK model.
 
 Usage (flag names 1:1 with the reference):
