@@ -1,0 +1,73 @@
+"""Benchmark: full detect -> align -> embed pipeline (faces/sec/chip).
+
+BASELINE.json's headline metric ("detected+aligned+embedded 112x112
+faces/sec/chip").  Runs the fixed-budget MTCNN cascade on a raw image
+batch, aligns the best face per image to the ArcFace template, and embeds
+it with LResNet100E-II — all jit'd, weights random (throughput is
+weight-independent).
+
+Reference equivalent: MTCNN over an image pyramid in Python/MXNet at
+batch=1 with per-scale host NMS (mtcnn_detector.py:307-513) + batch=1
+MXNet embedding (face_model.py:39).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.detect import CascadeConfig, FaceModel, init_cascade_params
+from alink_tpu.models import ArcFaceResNet100
+
+
+def sync(x):
+    return float(jnp.ravel(x.astype(jnp.float32))[0])
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/alink_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 64 if on_tpu else 2
+    size = 160  # typical pre-crop face image
+    cfg = CascadeConfig(
+        thresholds=(0.0, 0.0, 0.0),  # random weights: keep budgets full so
+        stage1_scale_budget=64,      # the measured work is the worst case
+        stage1_budget=128,
+        stage2_budget=64,
+        stage3_budget=16,
+    )
+    embedder = ArcFaceResNet100()
+    eparams = embedder.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 112, 112, 3)))
+    cparams = init_cascade_params(jax.random.PRNGKey(1))
+    fm = FaceModel(eparams, cparams, cfg)
+    fm.embedder = embedder
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3),
+                           jnp.float32, 0.0, 255.0)
+    sync(fm.process(x))  # compile + warm-up
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        feats = fm.process(x + jnp.float32(i))
+        acc += sync(feats)
+    dt = time.perf_counter() - t0
+    faces_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "detect_align_embed_throughput",
+        "image_size": size,
+        "batch": batch,
+        "value": round(faces_per_sec, 1),
+        "unit": "faces/sec/chip",
+    }))
+
+
+if __name__ == "__main__":
+    main()
