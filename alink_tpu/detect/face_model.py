@@ -46,6 +46,7 @@ class FaceModel:
         self.embed_params = embed_params
         self.cascade_params = cascade_params
         self.cfg = cfg
+        self._embed_jit = None
 
     def detect(self, images: jnp.ndarray) -> Detections:
         if self.cascade_params is None:
@@ -65,17 +66,21 @@ class FaceModel:
 
             return resize(images, self.cfg.output_size)
         det = self.detect(images)
-        chips = align_faces(images, det.landmarks, self.cfg.output_size)
-        # Best-scoring valid face per image (face_model get_input keeps the
-        # single detected face).
+        # Best-scoring valid face per image FIRST (face_model get_input
+        # keeps the single detected face) — aligning only that face does
+        # 1/budget of the warp work of aligning every budget slot.
         neg = jnp.finfo(det.scores.dtype).min
         best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
-        return jax.vmap(lambda c, b: c[b])(chips, best)
+        lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
+        chips = align_faces(images, lmk[:, None], self.cfg.output_size)
+        return chips[:, 0]
 
     def get_feature(self, aligned: jnp.ndarray) -> jnp.ndarray:
         """L2-normalised 512-d embeddings for aligned chips
         (face_model.py:86-93), batched in one jit'd forward."""
-        return self.embedder.apply(self.embed_params, aligned)
+        if self._embed_jit is None:
+            self._embed_jit = jax.jit(self.embedder.apply)
+        return self._embed_jit(self.embed_params, aligned)
 
     def process(self, images: jnp.ndarray) -> jnp.ndarray:
         """End-to-end pipeline: the ``siamese.ArcFace.process`` role
