@@ -144,9 +144,7 @@ def balanced_pair_batches(
             rights.append(src.images[p, y])
             labels.append(np.ones(n, np.int32))
         # --- imposter half ---
-        kinds = [0] if not use_imp else list(rng.integers(0, 3, half))
-        if not use_imp:
-            kinds = [0] * half
+        kinds = list(rng.integers(0, 3, half)) if use_imp else [0] * half
         counts_kind = [kinds.count(k) for k in range(3)]
         specs = [
             (normal, normal, True),
