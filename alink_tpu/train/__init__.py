@@ -30,6 +30,11 @@ from alink_tpu.train.trainer import (  # noqa: F401
     train_step,
 )
 from alink_tpu.train.checkpoint import maybe_restore, restore, save  # noqa: F401
+from alink_tpu.train.ensemble import (  # noqa: F401
+    create_ensemble_state,
+    ensemble_train_step,
+    train_ensemble,
+)
 from alink_tpu.train.classifier import (  # noqa: F401
     categorical_crossentropy,
     classifier_eval_step,

@@ -1,0 +1,141 @@
+"""Vmapped ensemble training: the whole committee in one program.
+
+Reference: the drivers train committee members one after another through
+the same generator (``ALINK.py:122-132`` — a Python loop of
+``customTrainModel`` calls, each a full pass of host->GPU round trips).
+Here the E members' params and optimizer states carry a leading ensemble
+axis and every training step is ONE vmapped/jit'd program: each member
+sees its own batch (drawn from the shared stream, preserving the
+sequential scheme's "different batches per member" bagging effect) and its
+own dropout key.  This is the committee-parallel layout SURVEY.md
+section 2.4 prescribes; on a mesh the ensemble axis shards over ``model``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+
+from alink_tpu.train.losses import (
+    accuracy,
+    binary_crossentropy,
+    class_weights_from_labels,
+    one_hot,
+)
+from alink_tpu.train.trainer import TrainState, adadelta
+
+
+def create_ensemble_state(
+    model,
+    rng: jax.Array,
+    num_members: int,
+    example_left: jnp.ndarray,
+    example_right: jnp.ndarray,
+    learning_rate: float = 0.1,
+) -> TrainState:
+    """TrainState whose params/opt_state carry a leading ensemble axis E.
+
+    Members are independently initialised (the reference's per-member
+    Keras inits, ALINK.py:94-96).
+    """
+    keys = jax.random.split(rng, num_members)
+    params = jax.vmap(lambda k: model.init(k, example_left, example_right))(
+        keys)
+    tx = adadelta(learning_rate)
+    opt_state = jax.vmap(tx.init)(params)
+
+    def logits_fn(p, left, right, *, train=False, rngs=None):
+        del train, rngs
+        return model.apply(p, left, right, method="logits")
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        tx=tx,
+        logits_fn=logits_fn,
+    )
+
+
+@partial(jax.jit, static_argnames=("weighted",))
+def ensemble_train_step(
+    state: TrainState,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    labels: jnp.ndarray,
+    weighted: bool = True,
+) -> tuple[TrainState, jnp.ndarray, jnp.ndarray]:
+    """One vmapped gradient step for all members.
+
+    ``left``/``right``: (E, B, D); ``labels``: (E, B) — member m trains on
+    its own batch m.  Returns per-member (loss, acc) of shape (E,).
+    """
+
+    def member_step(params, opt_state, le, r, y):
+        targets = one_hot(y)
+        sw = class_weights_from_labels(y) if weighted else None
+
+        def loss_fn(p):
+            logits = state.logits_fn(p, le, r)
+            return binary_crossentropy(logits, targets, sw), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, new_opt = state.tx.update(grads, opt_state, params)
+        import optax
+
+        return (optax.apply_updates(params, updates), new_opt, loss,
+                accuracy(logits, targets))
+
+    params, opt_state, losses, accs = jax.vmap(member_step)(
+        state.params, state.opt_state, left, right, labels)
+    return (
+        state.replace(step=state.step + 1, params=params,
+                      opt_state=opt_state),
+        losses,
+        accs,
+    )
+
+
+def train_ensemble(
+    state: TrainState,
+    data_iter: Iterator,
+    *,
+    epochs: int,
+    batch_size: int,
+    n_steps: int = 320000,
+) -> tuple[TrainState, list]:
+    """customTrainModel-style epochs for the whole committee at once.
+
+    Per step, E batches are drawn from the shared stream and stacked — the
+    same data budget as the reference's sequential member loop, E times
+    fewer program launches.
+    """
+    e = jax.tree.leaves(state.params)[0].shape[0]
+    steps_per_epoch = int(n_steps / batch_size)
+    logs = []
+    for _ in range(epochs):
+        tl = ta = jnp.zeros((e,), jnp.float32)
+        for _ in range(steps_per_epoch):
+            ls, rs, ys = [], [], []
+            for _ in range(e):
+                (xl, xr), y = next(data_iter)
+                ls.append(xl)
+                rs.append(xr)
+                ys.append(y)
+            state, loss, acc = ensemble_train_step(
+                state,
+                jnp.stack([jnp.asarray(x) for x in ls]),
+                jnp.stack([jnp.asarray(x) for x in rs]),
+                jnp.stack([jnp.asarray(x) for x in ys]),
+            )
+            tl = tl + loss
+            ta = ta + acc
+        logs.append({
+            "loss": (tl / steps_per_epoch).tolist(),
+            "acc": (ta / steps_per_epoch).tolist(),
+        })
+    return state, logs
