@@ -198,7 +198,7 @@ class TestEnsembleTraining:
         e = 3
         state = T.create_ensemble_state(
             head, jax.random.PRNGKey(0), e,
-            jnp.zeros((2, D)), jnp.zeros((2, D)),
+            jnp.zeros((2, D)), jnp.zeros((2, D)), learning_rate=1.0,
         )
         # Member params differ at init (check a kernel leaf; biases are
         # zero-initialised for every member).
