@@ -23,7 +23,6 @@ import dataclasses
 import jax
 
 from alink_tpu import train as T
-from alink_tpu.active.committee import Committee
 from alink_tpu.active.loop import ALinkLoop, ALinkState
 from alink_tpu.config import ALinkConfig
 from alink_tpu.drivers import common
@@ -98,25 +97,17 @@ def run_alink(
         key=next(keys), refine=config.train_disguised_model, n_steps=n_steps,
     )
 
-    # M1 ensemble (ALINK.py:94-97, 122-132): members trained individually
-    # on undisguised pairs, then stacked for the vmapped committee.
-    committee, head = common.build_committee(
-        next(keys), config.feature_res, config.noise,
-        config.num_ensemble_models,
-    )
+    # M1 ensemble (ALINK.py:94-97, 122-132): the whole committee trains as
+    # one vmapped program (train/ensemble.py) on undisguised pairs, with
+    # per-member checkpoints for train-or-load staging.
     plain_gen = common.replay_generator(config.seed + 1, data.plain_feats,
                                         data.imp_feats, config.batch_size)
-    member_params = []
-    for i in range(1, config.num_ensemble_models + 1):
-        member = common.new_head_state(next(keys), config.feature_res, 0.1)
-        member = member.replace(params=committee.member_params(i - 1))
-        member = common.train_or_load_head(
-            member, f"{config.ensemble_basepath}{i}", plain_gen,
-            epochs=config.undig_epochs, batch_size=config.batch_size,
-            key=next(keys), refine=config.refine_models, n_steps=n_steps,
-        )
-        member_params.append(member.params)
-    committee = Committee.from_param_list(head, member_params, config.noise)
+    committee, head = common.train_or_load_committee(
+        next(keys), config.feature_res, config.noise,
+        config.num_ensemble_models, config.ensemble_basepath, plain_gen,
+        epochs=config.undig_epochs, batch_size=config.batch_size,
+        refine=config.refine_models, n_steps=n_steps,
+    )
 
     # Framework loop (ALINK.py:145-259).
     replay = common.replay_generator(config.seed + 2, data.plain_feats,

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from alink_tpu import train as T
-from alink_tpu.active.committee import Committee
 from alink_tpu.active.loop import ALinkLoop, ALinkState
 from alink_tpu.config import MTPConfig
 from alink_tpu.data import (
@@ -104,25 +103,17 @@ def run_alink_mtp(
         )
         T.save(config.lowres_basemodel, m2.params)
 
-    # Teacher committee on high-res features.
+    # Teacher committee on high-res features, trained as one vmapped
+    # program (train/ensemble.py).
     hi_feats = common.featurize_stacks(hi, featurize)
-    committee, head = common.build_committee(
-        next(keys), config.feature_res, config.noise,
-        config.num_ensemble_models,
-    )
     feat_gen = common.replay_generator(config.seed + 1, hi_feats, None,
                                        config.batch_size)
-    members = []
-    for i in range(1, config.num_ensemble_models + 1):
-        member = common.new_head_state(next(keys), config.feature_res, 0.1)
-        member = member.replace(params=committee.member_params(i - 1))
-        member = common.train_or_load_head(
-            member, f"{config.ensemble_basepath}{i}", feat_gen,
-            epochs=config.highres_epochs, batch_size=config.batch_size,
-            key=next(keys), refine=config.refine_models, n_steps=n_steps,
-        )
-        members.append(member.params)
-    committee = Committee.from_param_list(head, members, config.noise)
+    committee, head = common.train_or_load_committee(
+        next(keys), config.feature_res, config.noise,
+        config.num_ensemble_models, config.ensemble_basepath, feat_gen,
+        epochs=config.highres_epochs, batch_size=config.batch_size,
+        refine=config.refine_models, n_steps=n_steps,
+    )
 
     # Replay stream in student space (low-res scaled pixels).
     replay = (

@@ -161,3 +161,46 @@ def build_committee(
         for i in range(num_members)
     ]
     return Committee.from_param_list(head, params, noise_names), head
+
+
+def train_or_load_committee(
+    key: jax.Array,
+    feature_dim: int,
+    noise_names: Sequence[str],
+    num_members: int,
+    basepath: str,
+    gen,
+    *,
+    epochs: int,
+    batch_size: int,
+    refine: bool = False,
+    n_steps: int = 320000,
+    learning_rate: float = 0.1,
+) -> tuple[Committee, SiameseHead]:
+    """Ensemble staging (ALINK.py:122-132) with the whole committee trained
+    as ONE vmapped program (train/ensemble.py) instead of the reference's
+    sequential per-member fits.  Checkpoint layout stays per-member
+    (``<basepath><i>``) so runs interoperate with ``train_or_load_head``.
+    """
+    from alink_tpu.train.ensemble import create_ensemble_state, train_ensemble
+    from alink_tpu.active.committee import stack_params, unstack_params
+
+    head = SiameseHead()
+    example = jnp.zeros((2, feature_dim))
+    state = create_ensemble_state(head, key, num_members, example, example,
+                                  learning_rate=learning_rate)
+
+    restored, all_ok = [], True
+    for i in range(1, num_members + 1):
+        member_like = unstack_params(state.params, i - 1)
+        params, ok = T.maybe_restore(f"{basepath}{i}", member_like)
+        restored.append(params)
+        all_ok = all_ok and ok
+    if all_ok:
+        state = state.replace(params=stack_params(restored))
+    if not all_ok or refine:
+        state, _ = train_ensemble(state, gen, epochs=epochs,
+                                  batch_size=batch_size, n_steps=n_steps)
+        for i in range(1, num_members + 1):
+            T.save(f"{basepath}{i}", unstack_params(state.params, i - 1))
+    return Committee(head, state.params, noise_names), head
