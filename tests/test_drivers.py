@@ -199,3 +199,35 @@ class TestExistingALMTPDriver:
         )
         learner = run_existing_al_mtp(cfg, n_rounds=2, n_steps=16)
         assert learner._y is not None and len(learner._y) > 0
+
+
+class TestCommitteeStaging:
+    def test_train_then_reload(self, tmp_path):
+        from alink_tpu.drivers.common import train_or_load_committee
+
+        rng = np.random.default_rng(0)
+        d = 16
+
+        def gen():
+            while True:
+                l = rng.normal(size=(8, d)).astype(np.float32)
+                r = rng.normal(size=(8, d)).astype(np.float32)
+                yield (l, r), (rng.random(8) > 0.5).astype(np.int32)
+
+        base = str(tmp_path / "ens")
+        com1, _ = train_or_load_committee(
+            jax.random.PRNGKey(0), d, ("gaussian",), 2, base, gen(),
+            epochs=1, batch_size=8, n_steps=16,
+        )
+        assert com1.num_members == 2
+        assert os.path.isdir(base + "1") and os.path.isdir(base + "2")
+        # Second call restores without training.
+        com2, _ = train_or_load_committee(
+            jax.random.PRNGKey(9), d, ("gaussian",), 2, base, gen(),
+            epochs=1, batch_size=8, n_steps=16,
+        )
+        a = jax.tree.leaves(com1.params)
+        b = jax.tree.leaves(com2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
