@@ -1,0 +1,137 @@
+"""Cross-framework numerical parity: VGGFaceResNet50 vs a torch reference.
+
+SURVEY.md section 7, hard part (c): embeddings must match a reference
+trained in another framework, which requires the topology, padding, BN and
+pooling conventions to agree exactly.  This test builds the same
+Caffe-style ResNet-50 (stride on the first 1x1 of each downsampling
+bottleneck — the keras_vggface convention our model follows) in PyTorch,
+ports its randomly-initialised weights into the flax model (OIHW->HWIO
+transposes, BN stat mapping), and demands near-bit-equal outputs.
+
+Any silent divergence in conv padding, pooling, BN epsilon placement or
+weight layout fails this test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from alink_tpu.models import VGGFaceResNet50  # noqa: E402
+
+
+class TorchBottleneck(tnn.Module):
+    """Caffe-style bottleneck: stride on the first 1x1 conv."""
+
+    def __init__(self, cin, f, stride=1, project=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
+        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.conv2 = tnn.Conv2d(f, f, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.conv3 = tnn.Conv2d(f, 4 * f, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-5)
+        self.project = project
+        if project:
+            self.conv_sc = tnn.Conv2d(cin, 4 * f, 1, stride=stride,
+                                      bias=False)
+            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-5)
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        sc = x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.project:
+            sc = self.bn_sc(self.conv_sc(x))
+        return self.relu(y + sc)
+
+
+class TorchResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        blocks = []
+        cin = 64
+        for stage, (n, f) in enumerate(zip((3, 4, 6, 3),
+                                           (64, 128, 256, 512))):
+            for b in range(n):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                blocks.append(TorchBottleneck(cin, f, stride=stride,
+                                              project=(b == 0)))
+                cin = 4 * f
+        self.blocks = tnn.ModuleList(blocks)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for blk in self.blocks:
+            x = blk(x)
+        return x.mean(dim=(2, 3))  # global average pool -> (N, 2048)
+
+
+def _port_conv(tconv):
+    # torch OIHW -> flax HWIO
+    return jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def _port_bn(tbn):
+    return {
+        "gamma": jnp.asarray(tbn.weight.detach().numpy()),
+        "beta": jnp.asarray(tbn.bias.detach().numpy()),
+        "mean": jnp.asarray(tbn.running_mean.detach().numpy()),
+        "var": jnp.asarray(tbn.running_var.detach().numpy()),
+    }
+
+
+def _port_params(tmodel, flax_params):
+    p = dict(flax_params["params"])
+    p["Conv_0"] = {"kernel": _port_conv(tmodel.conv1)}
+    p["_FrozenBN_0"] = _port_bn(tmodel.bn1)
+    for i, blk in enumerate(tmodel.blocks):
+        bp = {
+            "Conv_0": {"kernel": _port_conv(blk.conv1)},
+            "_FrozenBN_0": _port_bn(blk.bn1),
+            "Conv_1": {"kernel": _port_conv(blk.conv2)},
+            "_FrozenBN_1": _port_bn(blk.bn2),
+            "Conv_2": {"kernel": _port_conv(blk.conv3)},
+            "_FrozenBN_2": _port_bn(blk.bn3),
+        }
+        if blk.project:
+            bp["Conv_3"] = {"kernel": _port_conv(blk.conv_sc)}
+            bp["_FrozenBN_3"] = _port_bn(blk.bn_sc)
+        p[f"_Bottleneck_{i}"] = bp
+    return {"params": p}
+
+
+def test_resnet50_matches_torch_reference():
+    torch.manual_seed(0)
+    tmodel = TorchResNet50().eval()
+    # Random-but-nontrivial BN stats so the test exercises them.
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    model = VGGFaceResNet50(dtype=jnp.float32)
+    flax_init = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = _port_params(tmodel, flax_init)
+    # Structure must match exactly (same layer inventory).
+    assert (jax.tree.structure(params) == jax.tree.structure(flax_init))
+
+    x = np.random.default_rng(0).normal(0, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
