@@ -56,8 +56,12 @@ class _IRUnit(nn.Module):
         y = nn.Conv(f, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
         y = _FrozenBN(dtype=self.dtype)(y)
         y = _PReLU(dtype=self.dtype)(y)
+        # Explicit symmetric (1, 1) padding: MXNet/Caffe convention.  XLA's
+        # "SAME" pads (0, 1) for stride-2 3x3 on even inputs, which selects
+        # a pixel grid shifted by one vs the reference checkpoint.
         y = nn.Conv(f, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(y)
         y = _FrozenBN(dtype=self.dtype)(y)
         if project:
             shortcut = nn.Conv(f, (1, 1), strides=(self.stride, self.stride),

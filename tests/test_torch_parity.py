@@ -135,3 +135,113 @@ def test_resnet50_matches_torch_reference():
         want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+class TorchIRUnit(tnn.Module):
+    """LResNetE improved-residual unit mirroring models/arcface._IRUnit."""
+
+    def __init__(self, cin, f, stride=1):
+        super().__init__()
+        self.bn0 = tnn.BatchNorm2d(cin, eps=1e-5)
+        self.conv1 = tnn.Conv2d(cin, f, 3, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.prelu = tnn.PReLU(f)
+        self.conv2 = tnn.Conv2d(f, f, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.project = stride != 1 or cin != f
+        if self.project:
+            self.conv_sc = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
+            self.bn_sc = tnn.BatchNorm2d(f, eps=1e-5)
+
+    def forward(self, x):
+        y = self.bn0(x)
+        y = self.prelu(self.bn1(self.conv1(y)))
+        y = self.bn2(self.conv2(y))
+        sc = self.bn_sc(self.conv_sc(x)) if self.project else x
+        return y + sc
+
+
+class TorchArcFaceTiny(tnn.Module):
+    """ArcFaceResNet100 topology at stage_sizes (1, 1, 1, 1)."""
+
+    def __init__(self, embed=32):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 3, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.prelu = tnn.PReLU(64)
+        units = []
+        cin = 64
+        for f in (64, 128, 256, 512):
+            units.append(TorchIRUnit(cin, f, stride=2))
+            cin = f
+        self.units = tnn.ModuleList(units)
+        self.bn_out = tnn.BatchNorm2d(512, eps=1e-5)
+        self.fc = tnn.Linear(512 * 7 * 7, embed)
+
+    def forward(self, x):
+        x = self.prelu(self.bn1(self.conv1(x)))
+        for u in self.units:
+            x = u(x)
+        x = self.bn_out(x)
+        # Flax flattens NHWC; match that ordering: NCHW -> NHWC -> flat.
+        x = x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+        x = self.fc(x)
+        return torch.nn.functional.normalize(x, dim=-1)
+
+
+def _port_prelu(tp):
+    return {"alpha": jnp.asarray(tp.weight.detach().numpy())}
+
+
+def test_arcface_ir_topology_matches_torch():
+    from alink_tpu.models import ArcFaceResNet100
+
+    torch.manual_seed(1)
+    tm = TorchArcFaceTiny().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
+                             dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 112, 112, 3), jnp.float32))
+    p = dict(init["params"])
+    p["Conv_0"] = {"kernel": _port_conv(tm.conv1)}
+    p["_FrozenBN_0"] = _port_bn(tm.bn1)
+    p["_PReLU_0"] = _port_prelu(tm.prelu)
+    for i, u in enumerate(tm.units):
+        up = {
+            "_FrozenBN_0": _port_bn(u.bn0),
+            "Conv_0": {"kernel": _port_conv(u.conv1)},
+            "_FrozenBN_1": _port_bn(u.bn1),
+            "_PReLU_0": _port_prelu(u.prelu),
+            "Conv_1": {"kernel": _port_conv(u.conv2)},
+            "_FrozenBN_2": _port_bn(u.bn2),
+        }
+        if u.project:
+            up["Conv_2"] = {"kernel": _port_conv(u.conv_sc)}
+            up["_FrozenBN_3"] = _port_bn(u.bn_sc)
+        p[f"_IRUnit_{i}"] = up
+    p["_FrozenBN_1"] = _port_bn(tm.bn_out)
+    p["Dense_0"] = {
+        "kernel": jnp.asarray(tm.fc.weight.detach().numpy().T),
+        "bias": jnp.asarray(tm.fc.bias.detach().numpy()),
+    }
+    # fc1 output BN is identity in the torch mirror.
+    p["fc1_gamma"] = jnp.ones_like(init["params"]["fc1_gamma"])
+    p["fc1_beta"] = jnp.zeros_like(init["params"]["fc1_beta"])
+    params = {"params": p}
+    assert jax.tree.structure(params) == jax.tree.structure(init)
+
+    x = np.random.default_rng(1).uniform(0, 255, (2, 112, 112, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
