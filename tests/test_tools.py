@@ -3,6 +3,7 @@
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -133,3 +134,74 @@ class TestMTPStaging:
         for person in os.listdir(hr_train):
             for f in os.listdir(hr_train / person):
                 assert f.split("_")[0] == person
+
+
+class TestWeightConversion:
+    def _write_keras_h5(self, path, dims=(32, 512, 64, 2)):
+        """Emit a Keras-2 save_weights-layout HDF5 for a 3-Dense model."""
+        import h5py
+
+        rng = np.random.default_rng(0)
+        layer_names = []
+        with h5py.File(path, "w") as f:
+            for i in range(3):
+                name = f"dense_{i + 1}"
+                layer_names.append(name.encode())
+                g = f.create_group(name)
+                k = rng.normal(size=(dims[i], dims[i + 1])).astype(np.float32)
+                b = rng.normal(size=(dims[i + 1],)).astype(np.float32)
+                g.create_dataset(f"{name}/kernel:0", data=k)
+                g.create_dataset(f"{name}/bias:0", data=b)
+                g.attrs["weight_names"] = [
+                    f"{name}/kernel:0".encode(), f"{name}/bias:0".encode()]
+            # Keras also writes non-weight layers (inputs, lambda, softmax).
+            for extra in ("input_1", "lambda_1", "activation_1"):
+                g = f.create_group(extra)
+                g.attrs["weight_names"] = []
+                layer_names.append(extra.encode())
+            f.attrs["layer_names"] = layer_names
+        return path
+
+    def test_siamese_h5_roundtrip(self, tmp_path):
+        from alink_tpu.models import SiameseHead
+        from alink_tpu.tools.convert_weights import siamese_h5_to_params
+
+        h5 = self._write_keras_h5(str(tmp_path / "disguisedModel.h5"))
+        params = siamese_h5_to_params(h5)
+        head = SiameseHead(dtype=jnp.float32)
+        # The converted tree must drive the real head (and the fused
+        # pairwise engine) without modification.
+        left = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, 32)).astype(np.float32))
+        probs = head.apply(params, left, left)
+        assert probs.shape == (4, 2)
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+        from alink_tpu.ops.pairwise import score_matrix_xla
+
+        m = score_matrix_xla(params, left, left)
+        assert m.shape == (4, 4)
+
+    def test_cli_writes_checkpoint(self, tmp_path):
+        from alink_tpu.tools import convert_weights
+        from alink_tpu import train as T
+
+        h5 = self._write_keras_h5(str(tmp_path / "m.h5"))
+        out = str(tmp_path / "ckpt")
+        convert_weights.main(["siamese", h5, out])
+        restored = T.restore(out)
+        assert restored["params"]["hidden_0"]["kernel"].shape == (32, 512)
+
+    def test_wrong_layer_count_raises(self, tmp_path):
+        import h5py
+        from alink_tpu.tools.convert_weights import siamese_h5_to_params
+
+        path = str(tmp_path / "bad.h5")
+        with h5py.File(path, "w") as f:
+            f.attrs["layer_names"] = [b"dense_1"]
+            g = f.create_group("dense_1")
+            g.create_dataset("dense_1/kernel:0", data=np.zeros((2, 2)))
+            g.create_dataset("dense_1/bias:0", data=np.zeros((2,)))
+            g.attrs["weight_names"] = [b"dense_1/kernel:0",
+                                       b"dense_1/bias:0"]
+        with pytest.raises(ValueError):
+            siamese_h5_to_params(path)
