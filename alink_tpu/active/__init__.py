@@ -37,5 +37,10 @@ from alink_tpu.active.uncertainty import (  # noqa: F401
     margin_sampling,
     uncertainty_sampling,
 )
-from alink_tpu.active.learners import ActiveLearner, QueryCommittee  # noqa: F401
+from alink_tpu.active.learners import (  # noqa: F401
+    ActiveLearner,
+    BayesianOptimizer,
+    CommitteeRegressor,
+    QueryCommittee,
+)
 from alink_tpu.active.loop import ALinkLoop, ALinkState  # noqa: F401

@@ -109,6 +109,73 @@ class ActiveLearner:
         return np.asarray(self.query_strategy(probs, n_instances))
 
 
+class BayesianOptimizer(ActiveLearner):
+    """Pool-based Bayesian optimisation (learners.py:108-230).
+
+    The reference's variant tracks the best (X, y) seen and queries by an
+    acquisition function over the estimator's predictions; only max-score
+    acquisition is exercised anywhere.  ``query_strategy`` here maps
+    ``(values, n_instances) -> indices`` over predicted genuine scores.
+    """
+
+    def __init__(self, state, query_strategy=None, **kwargs):
+        if query_strategy is None:
+            def query_strategy(probs, n):  # max predicted score (greedy EI)
+                return jax.lax.top_k(probs[:, 1], n)[1]
+        super().__init__(state, query_strategy, **kwargs)
+        self.X_max = None
+        self.y_max = -np.inf
+
+    def _record_max(self, left, right, y):
+        y = np.asarray(y)
+        if y.size and float(y.max()) > self.y_max:
+            i = int(np.argmax(y))
+            self.y_max = float(y.max())
+            self.X_max = (np.asarray(left)[i], np.asarray(right)[i])
+
+    def fit(self, left, right, y, **overrides):
+        logs = super().fit(left, right, y, **overrides)
+        self._record_max(left, right, y)
+        return logs
+
+    def teach(self, left, right, y, only_new: bool = False, **overrides):
+        logs = super().teach(left, right, y, only_new=only_new, **overrides)
+        self._record_max(left, right, y)
+        return logs
+
+    def get_max(self):
+        """Best observation so far (learners.py get_max)."""
+        return self.X_max, self.y_max
+
+
+class CommitteeRegressor:
+    """Query-by-committee for regressors (learners.py:419-505).
+
+    Members are ``(params, predict_fn)`` pairs over pair inputs; consensus
+    is the member mean and disagreement the member std (the reference's
+    ``max_std_sampling`` default).
+    """
+
+    def __init__(self, members):
+        self.members = list(members)
+
+    def predict_members(self, left, right) -> jnp.ndarray:
+        return jnp.stack([fn(p, jnp.asarray(left), jnp.asarray(right))
+                          for p, fn in self.members])  # (E, N)
+
+    def predict(self, left, right, return_std: bool = False):
+        preds = self.predict_members(left, right)
+        mean = jnp.mean(preds, axis=0)
+        if return_std:
+            return mean, jnp.std(preds, axis=0)
+        return mean
+
+    def query(self, left, right, n_instances: int = 1) -> np.ndarray:
+        """Max-std disagreement sampling (modAL max_std_sampling)."""
+        _, std = self.predict(left, right, return_std=True)
+        return np.asarray(jax.lax.top_k(std, n_instances)[1])
+
+
 class QueryCommittee:
     """Query-by-committee (learners.py:239-416) over a stacked ensemble.
 

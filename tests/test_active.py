@@ -323,3 +323,50 @@ class TestDeviceChunking:
         # so noisy pixels differ; deterministic fields must agree.
         assert la.pairs == lb.pairs
         assert la.un_size == lb.un_size
+
+
+class TestBayesianOptimizer:
+    def test_tracks_max_and_queries_greedy(self):
+        from alink_tpu.active import BayesianOptimizer
+
+        head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
+        state = T.create_train_state(head, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, D)), jnp.zeros((2, D)))
+        bo = BayesianOptimizer(state, epochs=1, batch_size=8,
+                               validation_split=0.0)
+        rng = np.random.default_rng(0)
+        left = rng.normal(size=(16, D)).astype(np.float32)
+        right = rng.normal(size=(16, D)).astype(np.float32)
+        y = (rng.random(16) > 0.5).astype(np.int32)
+        bo.fit(left, right, y)
+        x_max, y_max = bo.get_max()
+        assert y_max == float(y.max())
+        idx = bo.query(left, right, n_instances=3)
+        assert len(idx) == 3
+        # Greedy acquisition: queried indices have the highest P(genuine).
+        probs = np.asarray(jax.nn.softmax(
+            bo.predict_proba(left, right), axis=-1))[:, 1]
+        assert set(idx.tolist()) == set(np.argsort(probs)[-3:].tolist())
+
+
+class TestCommitteeRegressor:
+    def test_consensus_and_disagreement(self):
+        from alink_tpu.active import CommitteeRegressor
+
+        def make_member(scale):
+            def predict(params, l, r):
+                return params * jnp.mean(jnp.abs(l - r), axis=-1)
+            return (jnp.float32(scale), predict)
+
+        cr = CommitteeRegressor([make_member(1.0), make_member(3.0)])
+        l = jax.random.normal(jax.random.PRNGKey(0), (5, D))
+        r = jax.random.normal(jax.random.PRNGKey(1), (5, D))
+        mean, std = cr.predict(l, r, return_std=True)
+        base = jnp.mean(jnp.abs(l - r), axis=-1)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(2.0 * base),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(std), np.asarray(base),
+                                   rtol=1e-5)
+        idx = cr.query(l, r, n_instances=2)
+        want = np.argsort(np.asarray(std))[-2:]
+        assert set(idx.tolist()) == set(want.tolist())
