@@ -44,7 +44,8 @@ from alink_tpu.ops.boxes import (
     refine_with_reg,
     select_topk,
 )
-from alink_tpu.ops.image import affine_warp, crop_and_resize, resize
+from alink_tpu.ops.image import (affine_warp, affine_warp_batch,
+                                 crop_and_resize, resize)
 from alink_tpu.ops.nms import nms
 from alink_tpu.ops.umeyama import arcface_template, umeyama
 
@@ -272,11 +273,11 @@ def align_faces(
     (N, H, W, 3); ``landmarks``: (N, K, 5, 2) -> chips (N, K, oh, ow, 3).
     """
     template = arcface_template(output_size)
-
-    def chip(img, lmk):
-        M = umeyama(lmk, template)
-        return affine_warp(img, M, output_size)
-
-    return jax.vmap(lambda img, lmks: jax.vmap(lambda l: chip(img, l))(lmks))(
-        images, landmarks
-    )
+    n, k = landmarks.shape[0], landmarks.shape[1]
+    Ms = jax.vmap(lambda l: umeyama(l, template))(
+        landmarks.reshape(n * k, 5, 2))
+    imgs = jnp.broadcast_to(
+        images[:, None], (n, k) + images.shape[1:]).reshape(
+        (n * k,) + images.shape[1:])
+    chips = affine_warp_batch(imgs, Ms, output_size)
+    return chips.reshape((n, k) + chips.shape[1:])

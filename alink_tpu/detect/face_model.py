@@ -47,6 +47,7 @@ class FaceModel:
         self.cascade_params = cascade_params
         self.cfg = cfg
         self._embed_jit = None
+        self._process_jit = None
 
     def detect(self, images: jnp.ndarray) -> Detections:
         if self.cascade_params is None:
@@ -84,8 +85,31 @@ class FaceModel:
 
     def process(self, images: jnp.ndarray) -> jnp.ndarray:
         """End-to-end pipeline: the ``siamese.ArcFace.process`` role
-        (code/siamese.py:232-234) without the per-image Python loop."""
-        return self.get_feature(self.get_input(images))
+        (code/siamese.py:232-234) without the per-image Python loop.
+
+        The whole detect->align->embed chain compiles as ONE program: a
+        single dispatch per batch instead of one per stage (host->device
+        launch latency is tens of ms through a remote tunnel, and stage
+        boundaries would otherwise round-trip intermediates through HBM
+        without fusion)."""
+        if self.cascade_params is None:
+            return self.get_feature(self.get_input(images))
+        if self._process_jit is None:
+            self._process_jit = jax.jit(self.pipeline)
+        return self._process_jit(self.embed_params, self.cascade_params,
+                                 images)
+
+    def pipeline(self, embed_params, cascade_params,
+                 images: jnp.ndarray) -> jnp.ndarray:
+        """The detect->align->embed chain as a pure traceable function —
+        embed it in larger jitted programs (benchmarks, serving batchers);
+        ``process`` is its jitted convenience wrapper."""
+        det = detect_faces(cascade_params, images, self.cfg)
+        neg = jnp.finfo(det.scores.dtype).min
+        best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
+        lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
+        chips = align_faces(images, lmk[:, None], self.cfg.output_size)
+        return self.embedder.apply(embed_params, chips[:, 0])
 
     def get_ga(self, aligned: jnp.ndarray, ga_head, ga_params
                ) -> tuple[jnp.ndarray, jnp.ndarray]:

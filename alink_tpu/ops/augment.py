@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from alink_tpu.ops.image import affine_warp
+from alink_tpu.ops.image import affine_warp_batch
 
 
 def _center_affine(h: int, w: int, A: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -68,12 +68,8 @@ def _shift_matrices(key, n, h, w, frac):
 
 def _warp_batch(images, A, t):
     h, w = images.shape[1], images.shape[2]
-
-    def one(img, a, tt):
-        return affine_warp(img, _center_affine(h, w, a, tt), (h, w),
-                           border="nearest")
-
-    return jax.vmap(one)(images, A, t)
+    Ms = jax.vmap(lambda a, tt: _center_affine(h, w, a, tt))(A, t)
+    return affine_warp_batch(images, Ms, (h, w), border="nearest")
 
 
 _VARIANTS = {

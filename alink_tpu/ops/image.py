@@ -67,16 +67,13 @@ def _bilinear_sample(
     return top * (1 - wy) + bot * wy
 
 
-def affine_warp(
+def _affine_warp_gather(
     img: jnp.ndarray, M: jnp.ndarray, out_size: tuple[int, int],
     border: str = "zero",
 ) -> jnp.ndarray:
-    """Warp one HWC image by the forward 2x3 affine ``M`` (cv2 semantics).
-
-    ``out_size = (out_h, out_w)``; output pixel (x, y) samples the source at
-    ``inv(M) @ (x, y, 1)``, zero outside (borderValue=0.0,
-    face_preprocess.py:106) or edge-clamped with ``border="nearest"``.
-    """
+    """Gather-based reference warp (kept as the numerics oracle for tests;
+    per-tap gathers are slow on TPU — the production path is the
+    interpolation-matrix formulation in ``affine_warp_batch``)."""
     out_h, out_w = out_size
     A = M[:, :2]
     b = M[:, 2]
@@ -92,11 +89,96 @@ def affine_warp(
 
 
 def affine_warp_batch(
-    imgs: jnp.ndarray, Ms: jnp.ndarray, out_size: tuple[int, int]
+    imgs: jnp.ndarray,
+    Ms: jnp.ndarray,
+    out_size: tuple[int, int],
+    border: str = "zero",
+    compute_dtype=None,
+    precision=None,
 ) -> jnp.ndarray:
-    """vmap of ``affine_warp`` over a batch (the reference loops per face,
-    mtcnn_detector.py:606-656)."""
-    return jax.vmap(lambda im, M: affine_warp(im, M, out_size))(imgs, Ms)
+    """Warp a batch of HWC images by forward 2x3 affines (cv2 semantics).
+
+    Replaces the reference's per-face ``cv2.warpAffine`` loop
+    (mtcnn_detector.py:606-656, face_preprocess.py:106).  Output pixel
+    (x, y) samples the source at ``inv(M) @ (x, y, 1)`` with bilinear
+    interpolation; ``border="zero"`` = borderValue=0, ``border="nearest"``
+    = edge clamp.
+
+    TPU formulation: a bilinear tap weight factorises per axis even under
+    rotation — weight(h, w) = tri(Y - h) * tri(X - w) with
+    tri(d) = max(0, 1 - |d|) — so the whole warp is two MXU contractions
+    per image (sum over source rows, then source cols) instead of 4
+    per-pixel gathers.  Out-of-image taps get zero weight, which IS the
+    zero border; clamping the source coords first reproduces the nearest
+    border.  Output rows are processed in `lax.scan` blocks so the
+    (block, W, C) intermediate stays well inside HBM working-set limits.
+
+    ``compute_dtype=jnp.bfloat16`` runs the contractions on the bf16 MXU
+    path (f32 accumulation); weights are exact to ~2^-8, i.e. <=0.5 LSB on
+    uint8-range pixels.
+
+    Precision: on TPU the default matmul precision feeds the MXU bf16
+    mantissas, giving <=1 LSB error on uint8-range pixels — comparable to
+    cv2.warpAffine itself, which interpolates with 5-bit fixed-point
+    weights (INTER_BITS=5, granularity 1/32).  Pass
+    ``precision=jax.lax.Precision.HIGHEST`` for exact f32 taps.
+    """
+    n, h, w, _ = imgs.shape
+    out_h, out_w = out_size
+    cdt = compute_dtype or (imgs.dtype if imgs.dtype in (jnp.bfloat16,)
+                            else jnp.float32)
+
+    Ainv = jnp.linalg.inv(Ms[:, :, :2].astype(jnp.float32))  # (n, 2, 2)
+    bvec = Ms[:, :, 2].astype(jnp.float32)                   # (n, 2) (bx, by)
+
+    # Row-block size: keep the (n, R*out_w, W, C) intermediate ~<=128 MB.
+    budget = 128 * 1024 * 1024 // max(
+        1, n * out_w * w * imgs.shape[3] * jnp.dtype(cdt).itemsize)
+    row_block = max(1, min(out_h, budget))
+    n_blocks = -(-out_h // row_block)
+    pad_h = n_blocks * row_block
+
+    img_flat = imgs.reshape(n, h, w * imgs.shape[3]).astype(cdt)
+    h_idx = jnp.arange(h, dtype=jnp.float32)
+    w_idx = jnp.arange(w, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+
+    def block(carry, y0):
+        ys = y0 + jnp.arange(row_block, dtype=jnp.float32)
+        # dst grid (R, out_w, 2) in (x, y); src = Ainv @ (dst - b)
+        dst = jnp.stack(
+            [jnp.broadcast_to(xs[None, :], (row_block, out_w)),
+             jnp.broadcast_to(ys[:, None], (row_block, out_w))], axis=-1)
+        rel = dst[None] - bvec[:, None, None, :]             # (n, R, ow, 2)
+        src = jnp.einsum("nij,nrqj->nrqi", Ainv, rel)        # (n, R, ow, 2)
+        X, Y = src[..., 0], src[..., 1]
+        if border == "nearest":
+            X = jnp.clip(X, 0.0, w - 1.0)
+            Y = jnp.clip(Y, 0.0, h - 1.0)
+        P = row_block * out_w
+        Y = Y.reshape(n, P)
+        X = X.reshape(n, P)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y[..., None] - h_idx))  # (n,P,H)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(X[..., None] - w_idx))  # (n,P,W)
+        rows = jnp.einsum("nph,nhd->npd", wy.astype(cdt), img_flat,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+        rows = rows.reshape(n, P, w, imgs.shape[3])          # (n, P, W, C)
+        out = jnp.einsum("npw,npwc->npc", wx, rows.astype(jnp.float32))
+        return carry, out.reshape(n, row_block, out_w, imgs.shape[3])
+
+    _, blocks = jax.lax.scan(
+        block, None, jnp.arange(n_blocks, dtype=jnp.float32) * row_block)
+    out = jnp.moveaxis(blocks, 0, 1).reshape(n, pad_h, out_w, imgs.shape[3])
+    return out[:, :out_h].astype(imgs.dtype)
+
+
+def affine_warp(
+    img: jnp.ndarray, M: jnp.ndarray, out_size: tuple[int, int],
+    border: str = "zero",
+) -> jnp.ndarray:
+    """Single-image ``affine_warp_batch`` (cv2.warpAffine equivalent)."""
+    return affine_warp_batch(img[None], M[None], out_size, border=border)[0]
 
 
 def crop_and_resize(

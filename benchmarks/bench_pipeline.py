@@ -51,14 +51,27 @@ def main():
 
     x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3),
                            jnp.float32, 0.0, 255.0)
-    sync(fm.process(x))  # compile + warm-up
-    iters = 5 if on_tpu else 1
+
+    # Chain iterations inside one jit (scalar fold-back serialises them)
+    # and subtract the dispatch+fetch latency measured with n=0: the
+    # remote-device tunnel costs tens of ms per launch, which would
+    # otherwise dominate a per-call loop.
+    @jax.jit
+    def chain(imgs, n):
+        def body(i, carry):
+            im, acc = carry
+            feats = fm.pipeline(eparams, cparams, im)
+            return im + 0.0 * acc, acc + jnp.mean(feats)
+        return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0.0)))[1]
+
+    iters = 20 if on_tpu else 1
+    sync(chain(x, 1))  # compile + warm-up
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        feats = fm.process(x + jnp.float32(i))
-        acc += sync(feats)
-    dt = time.perf_counter() - t0
+    sync(chain(x, 0))
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(chain(x, iters))
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9)
     faces_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": "detect_align_embed_throughput",

@@ -159,3 +159,33 @@ def test_resize_matches_cv2_when_available(rng):
     ours = np.asarray(imops.resize(jnp.asarray(img), (8, 9)))
     theirs = cv2.resize(img, (9, 8), interpolation=cv2.INTER_LINEAR)
     np.testing.assert_allclose(ours, theirs, atol=0.6)
+
+
+def test_affine_warp_matmul_matches_gather_oracle(rng):
+    """The interpolation-matrix warp must reproduce the 4-tap gather
+    bilinear exactly (same taps, same weights), rotation included."""
+    k1, k2 = jax.random.split(rng)
+    imgs = jax.random.uniform(k1, (3, 21, 17, 3)) * 255.0
+    thetas = jnp.array([0.3, -0.7, 0.05])
+    scales = jnp.array([0.8, 1.3, 1.0])
+    c, s = jnp.cos(thetas) * scales, jnp.sin(thetas) * scales
+    t = jax.random.uniform(k2, (3, 2), minval=-3.0, maxval=3.0)
+    Ms = jnp.stack(
+        [jnp.stack([c, -s, t[:, 0]], -1), jnp.stack([s, c, t[:, 1]], -1)],
+        axis=1)
+    for border in ("zero", "nearest"):
+        got = imops.affine_warp_batch(imgs, Ms, (13, 19), border=border)
+        want = jnp.stack([
+            imops._affine_warp_gather(imgs[i], Ms[i], (13, 19), border=border)
+            for i in range(3)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3)
+
+
+def test_affine_warp_batch_bf16_close(rng):
+    imgs = jax.random.uniform(rng, (2, 32, 32, 3)) * 255.0
+    M = jnp.array([[[0.9, -0.2, 3.0], [0.2, 0.9, -1.0]]] * 2)
+    f32 = imops.affine_warp_batch(imgs, M, (24, 24))
+    bf16 = imops.affine_warp_batch(imgs, M, (24, 24),
+                                   compute_dtype=jnp.bfloat16)
+    assert float(jnp.max(jnp.abs(f32 - bf16))) < 1.5
