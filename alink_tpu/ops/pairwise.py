@@ -124,40 +124,40 @@ def score_matrix_xla(
 
 
 def _fused_kernel(rows_ref, cols_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  wo_ref, bo_ref, out_ref, *, d_chunk: int):
+                  wo_ref, bo_ref, out_ref, slab_ref, *, d_chunk: int):
     """One (TI, TJ) score tile, whole head fused in VMEM.
 
-    Mosaic constraint: no >2-D reshapes — the tile is computed one row at a
-    time: row i against the whole (TJ, D) column tile is a sequence of 2-D
-    ``(TJ, dc) @ (dc, H1)`` MXU matmuls accumulated over feature chunks,
-    keeping the on-chip |l - r| slab at TJ * d_chunk elements.
+    Mosaic constraint: no >2-D reshapes — the (TI, TJ, D) |l - r| block
+    is laid out 2-D as a (TI * TJ, d_chunk) slab (row i's differences at
+    slab rows [i*TJ, (i+1)*TJ)), built with static per-row broadcasts.
+    The first dense layer is then ONE (TI*TJ, dc) @ (dc, H1) matmul per
+    feature chunk and the rest of the head runs batched over all TI*TJ
+    pairs — M = TI*TJ per MXU op instead of the per-row M = TJ of the
+    first version, which measured 105 TFLOP/s against the chip's
+    159 TFLOP/s matmul ceiling.
     """
     ti, d = rows_ref.shape
     tj = cols_ref.shape[0]
     nchunks = d // d_chunk
 
-    # Static unroll over tile rows: Mosaic supports neither >2-D reshapes
-    # nor dynamic sublane indexing, and static slices make every op a plain
-    # 2-D VPU broadcast or MXU matmul.
+    h = None
+    for c in range(nchunks):
+        sl = pl.ds(c * d_chunk, d_chunk)
+        r = cols_ref[:, sl]                      # (TJ, dc)
+        for i in range(ti):
+            slab_ref[i * tj:(i + 1) * tj, :] = jnp.abs(
+                rows_ref[i:i + 1, sl] - r)       # broadcast over TJ
+        p = jnp.dot(slab_ref[:], w1_ref[sl, :],
+                    preferred_element_type=jnp.float32)
+        h = p if h is None else h + p
+    h = jnp.maximum(h + b1_ref[0, :], 0.0).astype(rows_ref.dtype)
+    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b2_ref[0, :], 0.0).astype(rows_ref.dtype)
+    logits = jnp.dot(h, wo_ref[:], preferred_element_type=jnp.float32)
+    logits = logits + bo_ref[0, :]
+    diff = logits[:, 1] - logits[:, 0]           # (TI*TJ,)
     for i in range(ti):
-        def chunk(c, acc, i=i):
-            sl = pl.ds(c * d_chunk, d_chunk)
-            l = rows_ref[i:i + 1, sl]            # (1, dc), static row
-            r = cols_ref[:, sl]                  # (TJ, dc)
-            x = jnp.abs(l - r)                   # broadcast over TJ
-            return acc + jnp.dot(x, w1_ref[sl, :],
-                                 preferred_element_type=jnp.float32)
-
-        h = jax.lax.fori_loop(
-            0, nchunks, chunk,
-            jnp.zeros((tj, w1_ref.shape[1]), jnp.float32),
-        )
-        h = jnp.maximum(h + b1_ref[0, :], 0.0).astype(rows_ref.dtype)
-        h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b2_ref[0, :], 0.0).astype(rows_ref.dtype)
-        logits = jnp.dot(h, wo_ref[:], preferred_element_type=jnp.float32)
-        logits = logits + bo_ref[0, :]
-        score = jax.nn.sigmoid(logits[:, 1] - logits[:, 0])  # (TJ,)
+        score = jax.nn.sigmoid(diff[i * tj:(i + 1) * tj])
         out_ref[i:i + 1, :] = score[None, :]
 
 
@@ -169,8 +169,8 @@ def score_matrix_pallas(
     cols: jnp.ndarray,
     *,
     row_block: int = 8,
-    col_block: int = 512,
-    d_chunk: int = 1024,
+    col_block: int = 256,
+    d_chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused TPU kernel for the all-pairs scorer.
@@ -225,6 +225,9 @@ def score_matrix_pallas(
         partial(_fused_kernel, d_chunk=dc),
         out_shape=jax.ShapeDtypeStruct((np_, mp_), jnp.float32),
         grid=grid,
+        scratch_shapes=[
+            pltpu.VMEM((row_block * col_block, dc), jnp.bfloat16),
+        ],
         in_specs=[
             pl.BlockSpec((row_block, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
