@@ -130,6 +130,10 @@ def run_alink(
 
 
 def main(argv=None) -> None:
+    # Multi-host bring-up (no-op single-process; SURVEY.md section 2.4).
+    from alink_tpu.parallel import initialize
+
+    initialize()
     config = parse_config(argv)
     run_alink(config)
 

@@ -23,6 +23,12 @@ from alink_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from alink_tpu.parallel.distributed import (  # noqa: F401
+    create_multihost_mesh,
+    global_batch_from_local,
+    initialize,
+    process_shard,
+)
 from alink_tpu.parallel.ops import (  # noqa: F401
     sharded_committee_probs,
     sharded_featurize,

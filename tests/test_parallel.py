@@ -63,3 +63,46 @@ class TestShardedOps:
         with pytest.raises(ValueError):
             sharded_committee_probs(mesh8, head, stacked,
                                     jnp.zeros((2, 8)), jnp.zeros((2, 8)))
+
+
+class TestDistributed:
+    """Multi-host layer (single-process degenerate paths are exact)."""
+
+    def test_initialize_noop_single_process(self):
+        from alink_tpu.parallel import initialize
+
+        initialize()  # must not raise or try to reach a coordinator
+        initialize(num_processes=1)
+
+    def test_multihost_mesh_axes_and_order(self):
+        from alink_tpu.parallel import (DATA_AXIS, MODEL_AXIS,
+                                        create_multihost_mesh)
+
+        mesh = create_multihost_mesh(model=2)
+        assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+        assert mesh.shape[MODEL_AXIS] == 2
+        assert mesh.shape[DATA_AXIS] == len(jax.devices()) // 2
+
+    def test_multihost_mesh_rejects_model_across_hosts(self):
+        from alink_tpu.parallel import create_multihost_mesh
+
+        with pytest.raises(ValueError):
+            create_multihost_mesh(model=len(jax.devices()) * 2)
+
+    def test_global_batch_from_local_shards_rows(self):
+        from alink_tpu.parallel import (create_multihost_mesh,
+                                        global_batch_from_local)
+
+        mesh = create_multihost_mesh()
+        local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        arr = global_batch_from_local(mesh, local)
+        assert arr.shape == (16, 3)
+        np.testing.assert_array_equal(np.asarray(arr), local)
+        # Batch axis is spread over the data axis of the mesh.
+        assert len(arr.sharding.device_set) == len(jax.devices())
+
+    def test_process_shard_covers_dataset(self):
+        from alink_tpu.parallel import process_shard
+
+        s = process_shard(103)
+        assert s == slice(0, 103)  # single process owns everything
