@@ -130,6 +130,7 @@ class ALinkLoop:
         pair_builder: Callable = all_pairs_index,  # -> (pool, li, ri, y)
         metrics=None,
         device_batch: int = 1024,
+        pool_uint8: bool = False,
         key: jax.Array | None = None,
     ):
         self.pair_builder = pair_builder
@@ -149,6 +150,10 @@ class ALinkLoop:
         )
         self.committee = committee
         self.replay_gen = replay_gen
+        # Upload the pair pool as uint8 when the source data is
+        # cv2-decoded uint8 (all reference datasets, readDFW.py:82):
+        # 4x less host->device traffic; the f32 cast happens on device.
+        self.pool_uint8 = pool_uint8
         self.adversarial_predict = adversarial_predict
         self.adversarial_kwargs = adversarial_kwargs
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
@@ -245,7 +250,12 @@ class ALinkLoop:
             # uploads ONCE; every pair materialises as a device gather.
             flat_images, left_idx, right_idx, y = self.pair_builder(
                 plain_part, dig_part)
-            pool = jnp.asarray(flat_images)
+            if self.pool_uint8:
+                pool = jnp.asarray(
+                    np.clip(np.asarray(flat_images), 0, 255).astype(np.uint8)
+                ).astype(jnp.float32)
+            else:
+                pool = jnp.asarray(flat_images)
         n = len(y)
         self.state.un_size += n  # ALINK.py:154
 
@@ -275,21 +285,41 @@ class ALinkLoop:
         student_probs = jnp.concatenate(probs_chunks, axis=1)  # (K, N)
         k_noise = student_probs.shape[0]
 
-        def gather_student(noise_k: int, rows: np.ndarray) -> np.ndarray:
-            """Fetch student inputs for selected pair rows (device-resident
-            chunks -> host, only for the queried handful)."""
-            out = []
+        def gather_student_all(shares: list[np.ndarray]):
+            """Fetch student inputs for every noise channel's selected rows
+            in ONE host transfer per chunk (each host fetch is a full
+            round trip — batching them matters enormously on high-latency
+            links and still saves dispatches on local hosts).
+
+            ``shares[k]``: global pair rows charged to channel k.  Returns
+            ``(ls, rs)`` lists indexed by channel."""
+            parts = [[] for _ in shares]
             for (start, take), slc, src in zip(chunk_spans, sl_chunks,
                                                sr_chunks):
-                local = rows[(rows >= start) & (rows < start + take)] - start
-                if local.size:
-                    out.append((
-                        np.asarray(slc[noise_k][jnp.asarray(local)]),
-                        np.asarray(src[noise_k][jnp.asarray(local)]),
-                    ))
-            ls = np.concatenate([o[0] for o in out]) if out else None
-            rs = np.concatenate([o[1] for o in out]) if out else None
-            return ls, rs
+                sel_k, sel_local = [], []
+                for k, rows in enumerate(shares):
+                    local = rows[(rows >= start) & (rows < start + take)]
+                    sel_k.append(np.full(local.size, k))
+                    sel_local.append(local - start)
+                counts = [s.size for s in sel_local]
+                if not sum(counts):
+                    continue
+                kk = jnp.asarray(np.concatenate(sel_k))
+                ll = jnp.asarray(np.concatenate(sel_local))
+                both = np.asarray(jnp.concatenate(
+                    [slc[kk, ll], src[kk, ll]]))      # ONE fetch per chunk
+                half = both.shape[0] // 2
+                off = 0
+                for k, cnt in enumerate(counts):
+                    if cnt:
+                        parts[k].append((both[off:off + cnt],
+                                         both[half + off:half + off + cnt]))
+                    off += cnt
+            return [
+                (np.concatenate([p[0] for p in ch]) if ch else None,
+                 np.concatenate([p[1] for p in ch]) if ch else None)
+                for ch in parts
+            ]
 
         with self.timings.phase("select"):
             sel = select_queries(
@@ -300,19 +330,31 @@ class ALinkLoop:
                 blind_strategy=cfg.blind_strategy,
                 eps=cfg.eps,
             )
-        self.state.active_count += int(sel.oracle_charges)
+        # All of the round's small selection outputs come back in ONE
+        # packed host transfer (round trips, not bytes, dominate here).
+        packed = np.asarray(jnp.concatenate([
+            sel.queried.astype(jnp.float32),
+            sel.pseudo_labels.astype(jnp.float32),
+            sel.selected.astype(jnp.float32),
+            jnp.array([sel.oracle_charges], jnp.float32),
+        ]))
+        queried_mask = packed[:n]
+        pseudo_all = packed[n:2 * n]
+        selected_count = int(packed[2 * n:3 * n].sum())
+        self.state.active_count += int(packed[-1])
 
-        queried = np.flatnonzero(np.asarray(sel.queried))
+        queried = np.flatnonzero(queried_mask)
         finetuned = False
         if queried.size:
-            pseudo = np.asarray(sel.pseudo_labels)[queried]
+            pseudo = pseudo_all[queried].astype(np.int32)
             # Equal per-noise shares of the queried set (ALINK.py:216-225,
             # with consistent indexing).
             mp = queried.size // k_noise
             if mp:
-                for k in range(k_noise):
-                    share = np.sort(queried[k * mp:(k + 1) * mp])
-                    ls, rs = gather_student(k, share)
+                shares = [np.sort(queried[k * mp:(k + 1) * mp])
+                          for k in range(k_noise)]
+                gathered = gather_student_all(shares)
+                for k, (ls, rs) in enumerate(gathered):
                     self.state.append_buffer(
                         ls, rs, pseudo[k * mp:(k + 1) * mp])
             if self.state.buffer_size() >= cfg.batch_send:
@@ -331,7 +373,7 @@ class ALinkLoop:
         log = IterationLog(
             iteration=len(self.logs),
             pairs=n,
-            selected=int(np.asarray(sel.selected).sum()),
+            selected=selected_count,
             queried=int(queried.size),
             active_count=self.state.active_count,
             un_size=self.state.un_size,

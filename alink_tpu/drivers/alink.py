@@ -116,6 +116,7 @@ def run_alink(
            if "adversarial" in config.noise else None)
     loop = ALinkLoop(
         config,
+        pool_uint8=True,
         featurize=featurize,
         committee=committee,
         m2_state=m2,

@@ -132,6 +132,7 @@ def run_alink_mtp(
 
     loop = ALinkLoop(
         config,
+        pool_uint8=True,
         featurize=featurize,
         committee=committee,
         m2_state=m2,

@@ -94,15 +94,45 @@ def salt_pepper(
     return jax.vmap(one)(images, jax.random.split(key, n))
 
 
-def poisson(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
-    """Poisson shot noise with data-dependent scaling (noise.py:68-76)."""
+def poisson(
+    key: jax.Array,
+    images: jnp.ndarray,
+    assume_uint8: bool = True,
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Poisson shot noise with data-dependent scaling (noise.py:68-76).
+
+    ``vals = 2**ceil(log2(n_unique(x)))``.  With ``assume_uint8`` (the
+    reference's images are cv2-decoded uint8, readDFW.py:82) the unique
+    count is 256 equality reductions — an O(n) pass instead of a 150K-
+    element per-image sort, which dominated the selection round.
+
+    ``exact=False`` replaces the Poisson sampler with its Gaussian limit
+    ``round(lam + sqrt(lam) * z)`` clipped at 0: mean and variance are
+    exact, and lam = pixel * vals >= 256 for every nonzero uint8 pixel,
+    where the Poisson is Gaussian to ~lam**-0.5 = 6% skew or better —
+    while dropping the rejection-sampler cost (measured 91 -> ~5 ms per
+    256 images at 224x224).
+    """
 
     def one(img, k):
-        flat = jnp.sort(img.reshape(-1))
-        n_unique = 1 + jnp.sum(flat[1:] != flat[:-1])
+        if assume_uint8:
+            levels = jnp.arange(256, dtype=jnp.float32)
+            flat = img.reshape(-1, 1).astype(jnp.float32)
+            present = jnp.any(jnp.round(flat) == levels[None, :], axis=0)
+            n_unique = jnp.maximum(jnp.sum(present), 1)
+        else:
+            flat = jnp.sort(img.reshape(-1))
+            n_unique = 1 + jnp.sum(flat[1:] != flat[:-1])
         vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
         lam = jnp.maximum(img * vals, 0.0)
-        return jax.random.poisson(k, lam).astype(img.dtype) / vals
+        if exact:
+            noisy = jax.random.poisson(k, lam).astype(img.dtype)
+        else:
+            z = jax.random.normal(k, img.shape, dtype=jnp.float32)
+            noisy = jnp.maximum(
+                jnp.round(lam + jnp.sqrt(lam) * z), 0.0).astype(img.dtype)
+        return noisy / vals
 
     return jax.vmap(one)(images, jax.random.split(key, images.shape[0]))
 

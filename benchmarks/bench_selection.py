@@ -43,7 +43,7 @@ def main():
     cfg = ALinkConfig(noise=noise, alink_bs=4, batch_send=10**9,
                       num_ensemble_models=3)
     loop = ALinkLoop(cfg, featurize=featurize, committee=committee,
-                     m2_state=m2, device_batch=512, key=key)
+                     m2_state=m2, device_batch=512, pool_uint8=True, key=key)
 
     rng = np.random.default_rng(0)
     # 4 persons x 4 images per group -> (16x16)*2 = 512 pairs = 1 chunk.

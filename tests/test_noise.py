@@ -45,6 +45,23 @@ def test_poisson_scaling(rng):
     assert y.min() >= 0
 
 
+def test_poisson_approx_matches_exact_statistics(rng):
+    """The default Gaussian-limit sampler must match the exact Poisson's
+    mean AND variance, and the uint8 unique-count must agree with the
+    sort-based one (both feed vals = 2**ceil(log2(n_unique)))."""
+    img = jnp.round(jax.random.uniform(rng, (1, 16, 16, 3)) * 200.0)
+    batch = jnp.tile(img, (64, 1, 1, 1))
+    k1, k2 = jax.random.split(rng)
+    approx = np.asarray(noise.poisson(k1, batch))
+    exact = np.asarray(noise.poisson(k2, batch, exact=True))
+    np.testing.assert_allclose(approx.mean(), exact.mean(), rtol=0.02)
+    np.testing.assert_allclose(approx.std(), exact.std(), rtol=0.05)
+    # Same vals on integer images: sort path == histogram path.
+    a = np.asarray(noise.poisson(k1, batch))
+    b = np.asarray(noise.poisson(k1, batch, assume_uint8=False))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_speckle_statistics(rng):
     # noise.py:79-88 — x + x*N(0, 1/15): std of relative error ~= 1/15.
     x = jnp.full((2, 64, 64, 3), 200.0)
