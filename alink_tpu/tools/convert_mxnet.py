@@ -1,0 +1,317 @@
+"""Convert MXNet checkpoints (ArcFace LResNet100E-II, MTCNN det1-4) to
+this framework's flax/orbax parameter trees.
+
+The reference ships its face backbones as MXNet checkpoints
+(``model-r100-ii/model-0000.params`` fetched by ``arcface_prepreq.sh:9-22``
+and loaded at ``code/face_model.py:28-41``; the MTCNN ``det1..det4``
+checkpoints loaded at ``code/mtcnn_detector.py:52-65``).  This module maps
+those parameter sets onto ``models.ArcFaceResNet100`` / ``models.mtcnn``:
+
+- conv weights: MXNet OIHW -> flax HWIO;
+- PReLU ``relu*_gamma`` -> ``_PReLU_*/alpha``;
+- BatchNorm {gamma, beta, moving_mean, moving_var} -> ``_FrozenBN_*``
+  (this framework freezes stats as parameters, models/resnet.py);
+- fully-connected layers after a flatten: MXNet flattens NCHW while this
+  framework flattens NHWC, so the kernel's input axis is permuted
+  ``(c, h, w) -> (h, w, c)`` using the known pre-flatten feature shape;
+- the fc1 output BatchNorm folds into the model's affine
+  ``fc1_gamma/fc1_beta`` (gamma' = g/sqrt(v+eps), beta' = b - m*gamma').
+
+Input formats: a ``.npz`` (e.g. produced by
+``numpy.savez(path, **{k: v.asnumpy() for k, v in mx.nd.load(p).items()})``
+on any machine with mxnet) or a raw ``dict`` of numpy arrays whose keys
+use MXNet's ``arg:``/``aux:`` prefixes or bare names.  A best-effort
+binary ``.params`` reader is included for the modern NDArray format; the
+``.npz`` path is the supported one (no mxnet exists in this environment
+to validate the binary reader against real files).
+
+CLI: python -m alink_tpu.tools.convert_mxnet arcface model.npz out_ckpt
+     python -m alink_tpu.tools.convert_mxnet pnet det1.npz out_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+
+import numpy as np
+
+_BN_EPS = 2e-5  # MXNet/insightface BatchNorm default (symbol json eps)
+
+
+# --------------------------------------------------------------------------
+# raw parameter loading
+# --------------------------------------------------------------------------
+
+def _strip_prefix(name: str) -> str:
+    for p in ("arg:", "aux:"):
+        if name.startswith(p):
+            return name[len(p):]
+    return name
+
+
+def load_raw(path: str) -> dict:
+    """Load {name: ndarray} from .npz or (best-effort) MXNet .params."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {_strip_prefix(k): np.asarray(z[k]) for k in z.files}
+    return {_strip_prefix(k): v for k, v in
+            read_mxnet_ndarray_file(path).items()}
+
+
+def read_mxnet_ndarray_file(path: str) -> dict:
+    """Best-effort reader for ``mx.nd.save`` files (dense f32 arrays).
+
+    Layout (mxnet src ``c_api.cc``/``ndarray.cc``): uint64 list magic
+    0x112, uint64 reserved, uint64 count, count NDArray blobs, uint64
+    name count, names as (uint64 len, bytes).  Each blob: uint32 magic
+    0xF993FAC9 + int32 version (>= 2: int32 stype), shape as uint32 ndim
+    + int64 dims, int32 dev_type, int32 dev_id, int32 type_flag, data;
+    legacy blobs lead directly with the shape.  Only dense float32/
+    float64/float16 payloads are handled — convert to .npz with mxnet
+    for anything exotic.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    off = 0
+
+    def u64():
+        nonlocal off
+        (v,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        return v
+
+    def i32():
+        nonlocal off
+        (v,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        return v
+
+    if u64() != 0x112:
+        raise ValueError(f"{path}: not an MXNet NDArray list file")
+    u64()  # reserved
+    count = u64()
+    dtypes = {0: np.float32, 1: np.float64, 2: np.float16,
+              3: np.uint8, 4: np.int32, 5: np.int8, 6: np.int64}
+    arrays = []
+    for _ in range(count):
+        (magic,) = struct.unpack_from("<I", buf, off)
+        if magic == 0xF993FAC9:
+            off += 4
+            version = i32()
+            if version >= 2:
+                stype = i32()
+                if stype != 1:  # kDefaultStorage
+                    raise ValueError("sparse NDArray not supported")
+            (ndim,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            dims = struct.unpack_from(f"<{ndim}q", buf, off)
+            off += 8 * ndim
+        else:
+            # Legacy: TShape as uint32 ndim + uint32 dims.
+            (ndim,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            dims = struct.unpack_from(f"<{ndim}I", buf, off)
+            off += 4 * ndim
+        i32()  # dev_type
+        i32()  # dev_id
+        type_flag = i32()
+        dt = np.dtype(dtypes[type_flag])
+        n = int(np.prod(dims)) if ndim else 1
+        arr = np.frombuffer(buf, dt, n, off).reshape(dims)
+        off += n * dt.itemsize
+        arrays.append(arr.astype(np.float32))
+    n_names = u64()
+    names = []
+    for _ in range(n_names):
+        ln = u64()
+        names.append(buf[off:off + ln].decode())
+        off += ln
+    return dict(zip(names, arrays))
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+def _conv(raw: dict, name: str) -> dict:
+    out = {"kernel": np.transpose(raw[f"{name}_weight"], (2, 3, 1, 0))}
+    if f"{name}_bias" in raw:
+        out["bias"] = np.asarray(raw[f"{name}_bias"])
+    return out
+
+
+def _bn(raw: dict, name: str) -> dict:
+    return {
+        "gamma": np.asarray(raw[f"{name}_gamma"]),
+        "beta": np.asarray(raw[f"{name}_beta"]),
+        "mean": np.asarray(raw[f"{name}_moving_mean"]),
+        "var": np.asarray(raw[f"{name}_moving_var"]),
+    }
+
+
+def _prelu(raw: dict, name: str) -> dict:
+    return {"alpha": np.asarray(raw[f"{name}_gamma"]).reshape(-1)}
+
+
+def _dense_from_nchw(raw: dict, name: str, chw: tuple[int, int, int]) -> dict:
+    """MXNet FC over an NCHW flatten -> flax Dense over an NHWC flatten."""
+    w = np.asarray(raw[f"{name}_weight"])       # (out, C*H*W)
+    c, h, wd = chw
+    w = w.reshape(w.shape[0], c, h, wd).transpose(2, 3, 1, 0)
+    out = {"kernel": w.reshape(h * wd * c, -1)}
+    if f"{name}_bias" in raw:
+        out["bias"] = np.asarray(raw[f"{name}_bias"])
+    return out
+
+
+def _dense(raw: dict, name: str) -> dict:
+    out = {"kernel": np.asarray(raw[f"{name}_weight"]).T}
+    if f"{name}_bias" in raw:
+        out["bias"] = np.asarray(raw[f"{name}_bias"])
+    return out
+
+
+def _first(raw: dict, *candidates: str) -> str:
+    for c in candidates:
+        if f"{c}_weight" in raw or f"{c}_gamma" in raw:
+            return c
+    raise KeyError(f"none of {candidates} present "
+                   f"(have e.g. {sorted(raw)[:8]} ...)")
+
+
+# --------------------------------------------------------------------------
+# ArcFace LResNet100E-II
+# --------------------------------------------------------------------------
+
+def arcface_param_tree(
+    raw: dict,
+    stage_sizes: tuple[int, ...] = (3, 13, 30, 3),
+) -> dict:
+    """Map insightface LResNet params onto ``models.ArcFaceResNet100``.
+
+    MXNet naming (model-r100-ii): stem ``conv0/bn0/relu0``; unit u of
+    stage s: ``stage{s}_unit{u}_{bn1,conv1,bn2,relu1,conv2,bn3}`` plus
+    ``_conv1sc``/``_sc`` (shortcut conv + BN) on the stride-2 entry unit;
+    tail ``bn1``, ``pre_fc1``, ``fc1`` (output BN).
+    """
+    p: dict = {
+        "Conv_0": _conv(raw, "conv0"),
+        "_FrozenBN_0": _bn(raw, "bn0"),
+        "_PReLU_0": _prelu(raw, "relu0"),
+    }
+    k = 0
+    for s, blocks in enumerate(stage_sizes, start=1):
+        for u in range(1, blocks + 1):
+            base = f"stage{s}_unit{u}"
+            unit = {
+                "_FrozenBN_0": _bn(raw, f"{base}_bn1"),
+                "Conv_0": _conv(raw, f"{base}_conv1"),
+                "_FrozenBN_1": _bn(raw, f"{base}_bn2"),
+                "_PReLU_0": _prelu(raw, f"{base}_relu1"),
+                "Conv_1": _conv(raw, f"{base}_conv2"),
+                "_FrozenBN_2": _bn(raw, f"{base}_bn3"),
+            }
+            if f"{base}_conv1sc_weight" in raw:  # projection shortcut
+                unit["Conv_2"] = _conv(raw, f"{base}_conv1sc")
+                unit["_FrozenBN_3"] = _bn(raw, f"{base}_sc")
+            p[f"_IRUnit_{k}"] = unit
+            k += 1
+    p["_FrozenBN_1"] = _bn(raw, "bn1")
+    # pre_fc1 flattens 7x7x512 NCHW in MXNet; this model flattens NHWC.
+    c = raw["bn1_gamma"].shape[0]
+    hw = int(round((raw["pre_fc1_weight"].shape[1] / c) ** 0.5))
+    p["Dense_0"] = _dense_from_nchw(raw, "pre_fc1", (c, hw, hw))
+    # fc1 output BatchNorm folds into the model's affine gamma/beta.
+    g, b = raw["fc1_gamma"], raw["fc1_beta"]
+    m, v = raw["fc1_moving_mean"], raw["fc1_moving_var"]
+    scale = g / np.sqrt(v + _BN_EPS)
+    p["fc1_gamma"] = np.asarray(scale, np.float32)
+    p["fc1_beta"] = np.asarray(b - m * scale, np.float32)
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# MTCNN det1-4
+# --------------------------------------------------------------------------
+
+def pnet_param_tree(raw: dict) -> dict:
+    """det1: conv1-3 + PReLU, conv4_1 (cls 2ch) / conv4_2 (reg 4ch)."""
+    return {"params": {
+        "Conv_0": _conv(raw, "conv1"),
+        "_PReLU_0": _prelu(raw, _first(raw, "prelu1", "PReLU1")),
+        "Conv_1": _conv(raw, "conv2"),
+        "_PReLU_1": _prelu(raw, _first(raw, "prelu2", "PReLU2")),
+        "Conv_2": _conv(raw, "conv3"),
+        "_PReLU_2": _prelu(raw, _first(raw, "prelu3", "PReLU3")),
+        "Conv_3": _conv(raw, "conv4_1"),
+        "Conv_4": _conv(raw, "conv4_2"),
+    }}
+
+
+def _rnet_like_tree(raw: dict, chw: tuple[int, int, int],
+                    fc: str, heads: list[tuple[str, str]]) -> dict:
+    p = {
+        "Conv_0": _conv(raw, "conv1"),
+        "_PReLU_0": _prelu(raw, _first(raw, "prelu1", "PReLU1")),
+        "Conv_1": _conv(raw, "conv2"),
+        "_PReLU_1": _prelu(raw, _first(raw, "prelu2", "PReLU2")),
+        "Conv_2": _conv(raw, "conv3"),
+        "_PReLU_2": _prelu(raw, _first(raw, "prelu3", "PReLU3")),
+    }
+    n_convs = 3
+    if "conv4_weight" in raw and raw["conv4_weight"].ndim == 4:
+        p["Conv_3"] = _conv(raw, "conv4")
+        p["_PReLU_3"] = _prelu(raw, _first(raw, "prelu4", "PReLU4"))
+        n_convs = 4
+    p["Dense_0"] = _dense_from_nchw(raw, fc, chw)
+    p[f"_PReLU_{n_convs}"] = _prelu(
+        raw, _first(raw, f"prelu{n_convs + 1}", f"PReLU{n_convs + 1}"))
+    for i, (ours, theirs) in enumerate(heads):
+        p[ours] = _dense(raw, theirs)
+    return {"params": p}
+
+
+def rnet_param_tree(raw: dict) -> dict:
+    """det2: conv1-3, fc conv4 (64x3x3 -> 128), heads conv5_1/conv5_2."""
+    return _rnet_like_tree(raw, (64, 3, 3), "conv4",
+                           [("Dense_1", "conv5_1"), ("Dense_2", "conv5_2")])
+
+
+def onet_param_tree(raw: dict) -> dict:
+    """det3: conv1-4, fc conv5 (128x3x3 -> 256), heads conv6_1/2/3."""
+    return _rnet_like_tree(raw, (128, 3, 3), "conv5",
+                           [("Dense_1", "conv6_1"), ("Dense_2", "conv6_2"),
+                            ("Dense_3", "conv6_3")])
+
+
+def lnet_param_tree(raw: dict) -> dict:
+    """det4: RNet-shaped tower on 15-channel patch stacks, 10-d offsets."""
+    return _rnet_like_tree(raw, (64, 3, 3), "conv4",
+                           [("Dense_1", "conv5_1")])
+
+
+_CONVERTERS = {
+    "arcface": arcface_param_tree,
+    "pnet": pnet_param_tree,
+    "rnet": rnet_param_tree,
+    "onet": onet_param_tree,
+    "lnet": lnet_param_tree,
+}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model", choices=sorted(_CONVERTERS))
+    ap.add_argument("src", help=".npz or MXNet .params file")
+    ap.add_argument("out", help="orbax checkpoint directory")
+    args = ap.parse_args(argv)
+    tree = _CONVERTERS[args.model](load_raw(args.src))
+    from alink_tpu.train.checkpoint import save
+
+    save(args.out, tree)
+    print(f"wrote {args.model} params -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""MXNet -> flax converter: structural and numeric mapping checks.
+
+No mxnet (or real checkpoint) exists in this environment, so the raw
+parameter dicts are synthesised with insightface's naming and MXNet's
+layouts (OIHW convs, NCHW-flattened FCs); the mapped trees must slot
+into the flax models exactly and preserve the numerics that matter
+(BN folding, flatten-order permutation)."""
+
+import io
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.models import ArcFaceResNet100
+from alink_tpu.models.mtcnn import ONet, PNet, RNet
+from alink_tpu.tools import convert_mxnet as cm
+
+
+def _bn_raw(rng, base, c):
+    return {
+        f"{base}_gamma": rng.normal(size=(c,)).astype(np.float32),
+        f"{base}_beta": rng.normal(size=(c,)).astype(np.float32),
+        f"{base}_moving_mean": rng.normal(size=(c,)).astype(np.float32),
+        f"{base}_moving_var": rng.uniform(0.5, 2.0, (c,)).astype(np.float32),
+    }
+
+
+def _conv_raw(rng, base, cin, cout, k=3, bias=False):
+    out = {f"{base}_weight":
+           rng.normal(size=(cout, cin, k, k)).astype(np.float32)}
+    if bias:
+        out[f"{base}_bias"] = rng.normal(size=(cout,)).astype(np.float32)
+    return out
+
+
+def _synth_arcface_raw(stage_sizes=(1, 1, 1, 1),
+                       widths=(64, 128, 256, 512)):
+    rng = np.random.default_rng(0)
+    raw = {}
+    raw.update(_conv_raw(rng, "conv0", 3, 64))
+    raw.update(_bn_raw(rng, "bn0", 64))
+    raw["relu0_gamma"] = rng.uniform(0.1, 0.3, (64,)).astype(np.float32)
+    cin = 64
+    for s, (blocks, w) in enumerate(zip(stage_sizes, widths), start=1):
+        for u in range(1, blocks + 1):
+            base = f"stage{s}_unit{u}"
+            raw.update(_bn_raw(rng, f"{base}_bn1", cin))
+            raw.update(_conv_raw(rng, f"{base}_conv1", cin, w))
+            raw.update(_bn_raw(rng, f"{base}_bn2", w))
+            raw[f"{base}_relu1_gamma"] = rng.uniform(
+                0.1, 0.3, (w,)).astype(np.float32)
+            raw.update(_conv_raw(rng, f"{base}_conv2", w, w))
+            raw.update(_bn_raw(rng, f"{base}_bn3", w))
+            if u == 1:  # stride-2 entry unit projects
+                raw.update(_conv_raw(rng, f"{base}_conv1sc", cin, w, k=1))
+                raw.update(_bn_raw(rng, f"{base}_sc", w))
+            cin = w
+    raw.update(_bn_raw(rng, "bn1", 512))
+    raw["pre_fc1_weight"] = rng.normal(
+        size=(512, 512 * 7 * 7)).astype(np.float32)
+    raw["pre_fc1_bias"] = rng.normal(size=(512,)).astype(np.float32)
+    raw.update(_bn_raw(rng, "fc1", 512))
+    return raw
+
+
+def _tree_shapes(t):
+    return jax.tree.map(lambda x: jnp.asarray(x).shape, t)
+
+
+def test_arcface_tree_matches_model_init():
+    raw = _synth_arcface_raw()
+    tree = cm.arcface_param_tree(raw, stage_sizes=(1, 1, 1, 1))
+    model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1))
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+    assert _tree_shapes(tree) == _tree_shapes(want)
+    # The mapped tree must actually run.
+    out = model.apply(jax.tree.map(jnp.asarray, tree),
+                      jnp.ones((2, 112, 112, 3)))
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
+                               1.0, atol=1e-3)
+
+
+def test_fc1_bn_folding():
+    raw = _synth_arcface_raw()
+    tree = cm.arcface_param_tree(raw, stage_sizes=(1, 1, 1, 1))["params"]
+    g, b = raw["fc1_gamma"], raw["fc1_beta"]
+    m, v = raw["fc1_moving_mean"], raw["fc1_moving_var"]
+    x = np.linspace(-2, 2, 512).astype(np.float32)
+    want = (x - m) / np.sqrt(v + 2e-5) * g + b
+    got = x * tree["fc1_gamma"] + tree["fc1_beta"]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_nchw_to_nhwc_permutation():
+    # Weight encoding W[o, c*H*W + h*W + w] = c*100 + h*10 + w must land
+    # at flax row (h*W + w)*C + c.
+    C, H, W = 3, 2, 2
+    enc = np.zeros((1, C * H * W), np.float32)
+    for c in range(C):
+        for h in range(H):
+            for w in range(W):
+                enc[0, c * H * W + h * W + w] = c * 100 + h * 10 + w
+    out = cm._dense_from_nchw({"x_weight": enc}, "x", (C, H, W))["kernel"]
+    for c in range(C):
+        for h in range(H):
+            for w in range(W):
+                assert out[(h * W + w) * C + c, 0] == c * 100 + h * 10 + w
+
+
+def test_conv_oihw_to_hwio():
+    w = np.arange(2 * 3 * 5 * 7).reshape(2, 3, 5, 7).astype(np.float32)
+    k = cm._conv({"c_weight": w}, "c")["kernel"]
+    assert k.shape == (5, 7, 3, 2)
+    np.testing.assert_array_equal(k[1, 2, 0, 1], w[1, 0, 1, 2])
+
+
+def _synth_mtcnn_raw(net):
+    rng = np.random.default_rng(1)
+    if net == "pnet":
+        raw = {}
+        for i, (cin, cout, k) in enumerate(
+                [(3, 10, 3), (10, 16, 3), (16, 32, 3)], start=1):
+            raw.update(_conv_raw(rng, f"conv{i}", cin, cout, k, bias=True))
+            raw[f"prelu{i}_gamma"] = rng.uniform(
+                0.2, 0.3, (cout,)).astype(np.float32)
+        raw.update(_conv_raw(rng, "conv4_1", 32, 2, 1, bias=True))
+        raw.update(_conv_raw(rng, "conv4_2", 32, 4, 1, bias=True))
+        return raw
+    if net == "rnet":
+        convs = [(3, 28, 3), (28, 48, 3), (48, 64, 2)]
+        fc, chw, width = "conv4", (64, 3, 3), 128
+        heads = {"conv5_1": 2, "conv5_2": 4}
+    else:  # onet
+        convs = [(3, 32, 3), (32, 64, 3), (64, 64, 3), (64, 128, 2)]
+        fc, chw, width = "conv5", (128, 3, 3), 256
+        heads = {"conv6_1": 2, "conv6_2": 4, "conv6_3": 10}
+    raw = {}
+    for i, (cin, cout, k) in enumerate(convs, start=1):
+        raw.update(_conv_raw(rng, f"conv{i}", cin, cout, k, bias=True))
+        raw[f"prelu{i}_gamma"] = rng.uniform(
+            0.2, 0.3, (cout,)).astype(np.float32)
+    cflat = int(np.prod(chw))
+    raw[f"{fc}_weight"] = rng.normal(size=(width, cflat)).astype(np.float32)
+    raw[f"{fc}_bias"] = rng.normal(size=(width,)).astype(np.float32)
+    raw[f"prelu{len(convs) + 1}_gamma"] = rng.uniform(
+        0.2, 0.3, (width,)).astype(np.float32)
+    for name, odim in heads.items():
+        raw[f"{name}_weight"] = rng.normal(
+            size=(odim, width)).astype(np.float32)
+        raw[f"{name}_bias"] = rng.normal(size=(odim,)).astype(np.float32)
+    return raw
+
+
+@pytest.mark.parametrize("net,model,inp", [
+    ("pnet", PNet, (1, 12, 12, 3)),
+    ("rnet", RNet, (1, 24, 24, 3)),
+    ("onet", ONet, (1, 48, 48, 3)),
+])
+def test_mtcnn_trees_match_models(net, model, inp):
+    raw = _synth_mtcnn_raw(net)
+    tree = getattr(cm, f"{net}_param_tree")(raw)
+    want = model().init(jax.random.PRNGKey(0), jnp.zeros(inp))
+    assert _tree_shapes(tree) == _tree_shapes(want)
+    out = model().apply(jax.tree.map(jnp.asarray, tree), jnp.ones(inp))
+    for o in jax.tree.leaves(out):
+        assert bool(jnp.all(jnp.isfinite(o)))
+
+
+def _write_mxnet_file(arrays: dict) -> bytes:
+    """Writer mirroring read_mxnet_ndarray_file (round-trip check)."""
+    out = io.BytesIO()
+    out.write(struct.pack("<QQQ", 0x112, 0, len(arrays)))
+    for v in arrays.values():
+        v = np.asarray(v, np.float32)
+        out.write(struct.pack("<Ii i", 0xF993FAC9, 2, 1))  # magic, ver, stype
+        out.write(struct.pack("<I", v.ndim))
+        out.write(struct.pack(f"<{v.ndim}q", *v.shape))
+        out.write(struct.pack("<iii", 1, 0, 0))  # cpu ctx, f32
+        out.write(v.tobytes())
+    out.write(struct.pack("<Q", len(arrays)))
+    for k in arrays:
+        kb = f"arg:{k}".encode()
+        out.write(struct.pack("<Q", len(kb)))
+        out.write(kb)
+    return out.getvalue()
+
+
+def test_params_binary_round_trip(tmp_path):
+    arrays = {"conv0_weight": np.random.default_rng(0).normal(
+        size=(4, 3, 3, 3)).astype(np.float32),
+        "bn0_gamma": np.ones((4,), np.float32)}
+    p = tmp_path / "model-0000.params"
+    p.write_bytes(_write_mxnet_file(arrays))
+    got = cm.load_raw(str(p))
+    assert set(got) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(got[k], arrays[k])
