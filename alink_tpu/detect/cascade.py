@@ -45,7 +45,8 @@ from alink_tpu.ops.boxes import (
     select_topk,
 )
 from alink_tpu.ops.image import (affine_warp, affine_warp_batch,
-                                 crop_and_resize, resize)
+                                 affine_warp_batch_pallas, crop_and_resize,
+                                 resize)
 from alink_tpu.ops.nms import nms
 from alink_tpu.ops.umeyama import arcface_template, umeyama
 
@@ -279,5 +280,11 @@ def align_faces(
     imgs = jnp.broadcast_to(
         images[:, None], (n, k) + images.shape[1:]).reshape(
         (n * k,) + images.shape[1:])
-    chips = affine_warp_batch(imgs, Ms, output_size)
+    # On TPU the warp runs as a Pallas kernel (tap weights built in VMEM;
+    # HBM traffic = image read + chip write); elsewhere the XLA einsum
+    # formulation.  Same numerics contract (<=1 LSB on uint8-range pixels).
+    if jax.default_backend() == "tpu":
+        chips = affine_warp_batch_pallas(imgs, Ms, output_size)
+    else:
+        chips = affine_warp_batch(imgs, Ms, output_size)
     return chips.reshape((n, k) + chips.shape[1:])

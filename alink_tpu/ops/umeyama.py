@@ -36,7 +36,11 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     mu_d = dst.mean(axis=0)
     src_c = src - mu_s
     dst_c = dst - mu_d
-    cov = dst_c.T @ src_c / n  # (2, 2)
+    # These are 2x2/Kx2 contractions of pixel *coordinates*: keep them off
+    # the default TPU matmul path, whose bf16 operand mantissas would
+    # perturb the fitted transform by ~0.4% (≈half-pixel warp error).
+    hi = jax.lax.Precision.HIGHEST
+    cov = jnp.einsum("ki,kj->ij", dst_c, src_c, precision=hi) / n  # (2, 2)
     var_s = jnp.sum(src_c**2) / n
 
     U, D, Vt = jnp.linalg.svd(cov)
@@ -44,9 +48,9 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     S = jnp.array([1.0, 1.0]) * jnp.array([1.0, 0.0]) + jnp.array(
         [0.0, 1.0]
     ) * sign  # diag entries (1, sign)
-    R = (U * S[None, :]) @ Vt
+    R = jnp.einsum("ij,jk->ik", U * S[None, :], Vt, precision=hi)
     scale = jnp.sum(D * S) / jnp.maximum(var_s, 1e-12)
-    t = mu_d - scale * (R @ mu_s)
+    t = mu_d - scale * jnp.einsum("ij,j->i", R, mu_s, precision=hi)
     return jnp.concatenate([scale * R, t[:, None]], axis=1)  # (2, 3)
 
 

@@ -182,6 +182,48 @@ def test_affine_warp_matmul_matches_gather_oracle(rng):
                                    atol=2e-3)
 
 
+def test_affine_warp_pallas_matches_gather_oracle(rng):
+    """The Pallas TPU warp kernel (interpret mode here) must match the
+    4-tap gather bilinear within its bf16 tap budget (<=~1 LSB on
+    uint8-range pixels), rotation and both border modes included."""
+    k1, k2 = jax.random.split(rng)
+    imgs = jax.random.uniform(k1, (3, 21, 17, 3)) * 255.0
+    thetas = jnp.array([0.3, -0.7, 0.05])
+    scales = jnp.array([0.8, 1.3, 1.0])
+    c, s = jnp.cos(thetas) * scales, jnp.sin(thetas) * scales
+    t = jax.random.uniform(k2, (3, 2), minval=-3.0, maxval=3.0)
+    Ms = jnp.stack(
+        [jnp.stack([c, -s, t[:, 0]], -1), jnp.stack([s, c, t[:, 1]], -1)],
+        axis=1)
+    for border in ("zero", "nearest"):
+        got = imops.affine_warp_batch_pallas(imgs, Ms, (13, 19),
+                                             border=border, interpret=True)
+        want = jnp.stack([
+            imops._affine_warp_gather(imgs[i], Ms[i], (13, 19), border=border)
+            for i in range(3)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1.5)
+
+
+def test_affine_warp_correct_under_bf16_matmul_default(rng):
+    """Regression: coordinate transforms must not flow through matmuls.
+
+    On TPU the default matmul precision truncates operands to bf16
+    mantissas; a `dst @ Ainv.T` coordinate transform then loses whole
+    pixels (resolution 1.0 beyond magnitude 128), which showed up as
+    ~116/255 pixel errors at 160x160 on chip.  Emulate that default here
+    and require the warp to stay within the documented weight budget.
+    """
+    imgs = jax.random.uniform(rng, (2, 160, 160, 3)) * 255.0
+    M = jnp.array([[[0.9, -0.2, 3.0], [0.2, 0.9, -1.0]]] * 2)
+    want = imops.affine_warp_batch(imgs, M, (112, 112))
+    with jax.default_matmul_precision("bfloat16"):
+        got = imops.affine_warp_batch(imgs, M, (112, 112))
+        oracle = imops._affine_warp_gather(imgs[0], M[0], (112, 112))
+    assert float(jnp.max(jnp.abs(got - want))) < 2.0
+    assert float(jnp.max(jnp.abs(oracle - want[0]))) < 2.0
+
+
 def test_affine_warp_batch_bf16_close(rng):
     imgs = jax.random.uniform(rng, (2, 32, 32, 3)) * 255.0
     M = jnp.array([[[0.9, -0.2, 3.0], [0.2, 0.9, -1.0]]] * 2)
