@@ -131,15 +131,19 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
             prob[0, ..., 1], reg[0], scale, cfg.thresholds[0],
             cfg.stage1_scale_budget,
         )
-        keep = nms(b, s, v, 0.5)  # per-scale NMS (helper.py:161-164)
         boxes_l.append(b)
         scores_l.append(s)
         regs_l.append(r)
-        valid_l.append(v & keep)
+        valid_l.append(v)
+    # Per-scale NMS 0.5 (helper.py:161-164): all pyramid levels share one
+    # candidate budget, so the whole pyramid suppresses as ONE vmapped
+    # call instead of a sequential loop per level.
+    keep = jax.vmap(lambda b, s, v: nms(b, s, v, 0.5))(
+        jnp.stack(boxes_l), jnp.stack(scores_l), jnp.stack(valid_l))
     boxes = jnp.concatenate(boxes_l)
     scores = jnp.concatenate(scores_l)
     regs = jnp.concatenate(regs_l)
-    valid = jnp.concatenate(valid_l)
+    valid = jnp.concatenate([v & k for v, k in zip(valid_l, keep)])
     # Global NMS 0.7 Union (mtcnn_detector.py:378).
     valid = valid & nms(boxes, scores, valid, 0.7)
     # First-stage regression + squaring (mtcnn_detector.py:381-394).

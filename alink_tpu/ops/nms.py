@@ -71,18 +71,28 @@ def nms(
     svalid = valid[order]
     overlap = iou_matrix(sboxes, mode=mode)
 
-    def body(i, state):
-        keep, suppressed = state
-        take = svalid[i] & ~suppressed[i]
-        keep = keep.at[i].set(take)
-        row = overlap[i] > threshold
-        # Suppress only later (lower-scoring) candidates.
-        later = jnp.arange(k) > i
-        suppressed = suppressed | (take & row & later)
-        return keep, suppressed
+    # Greedy NMS as a Jacobi fixed point instead of a K-step sequential
+    # scan: candidate i survives iff no *kept* higher-scoring candidate
+    # overlaps it, i.e. keep = svalid & ~(dom^T @ keep) where
+    # dom[j, i] = "j earlier, valid, overlap > t".  Iterating from
+    # keep = svalid reaches the greedy solution in (longest suppression
+    # chain) steps — a handful in practice versus K dependent loop
+    # iterations (K = 448 in the stage-1 global pass), each a full
+    # sequential latency on TPU.  Proof of equivalence: after t
+    # iterations every candidate whose dominator-chain length is <= t
+    # holds its greedy value (induction in score order); the loop exits
+    # one iteration after nothing changes.
+    idx = jnp.arange(k)
+    dom = (overlap > threshold) & (idx[:, None] < idx[None, :]) \
+        & svalid[:, None]
 
-    keep_sorted, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool))
+    def step(state):
+        keep, _ = state
+        new = svalid & ~jnp.any(dom & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    keep_sorted, _ = jax.lax.while_loop(
+        lambda s: s[1], step, (svalid, jnp.bool_(True))
     )
     # Scatter back to input order.
     keep = jnp.zeros(k, bool).at[order].set(keep_sorted)

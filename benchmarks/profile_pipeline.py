@@ -23,14 +23,20 @@ def sync(x):
 
 
 def timed(fn, *args, iters=20):
-    """Chain `iters` calls of fn inside one jit; subtract dispatch latency."""
+    """Chain `iters` calls of fn inside one jit; subtract dispatch latency.
+
+    The first (float) argument is perturbed by the carry each iteration so
+    XLA cannot hoist the loop-invariant computation out of the chain.
+    """
 
     @jax.jit
-    def chain(n, *a):
-        def body(i, acc):
-            return acc + jnp.mean(
-                jax.tree.leaves(fn(*a))[0].astype(jnp.float32)) * 1e-6
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    def chain(n, a0, *rest):
+        def body(i, carry):
+            x, acc = carry
+            out = jnp.mean(
+                jax.tree.leaves(fn(x, *rest))[0].astype(jnp.float32))
+            return x + 0.0 * out, acc + out * 1e-6
+        return jax.lax.fori_loop(0, n, body, (a0, jnp.float32(0.0)))[1]
 
     sync(chain(1, *args))
     t0 = time.perf_counter()
