@@ -129,6 +129,11 @@ class Committee:
         stacked_l = jnp.stack(ordered_l)
         stacked_r = jnp.stack(ordered_r)
         k, n = stacked_l.shape[0], stacked_l.shape[1]
+        if tuple(target_res) == stacked_l.shape[2:4]:
+            # Same-resolution student (the DFW drivers): cv2.resize to the
+            # identical size is the identity — skip the bilinear pass
+            # entirely instead of resampling gigabytes per round.
+            return stacked_l, stacked_r
         flat_l = stacked_l.reshape((k * n,) + stacked_l.shape[2:])
         flat_r = stacked_r.reshape((k * n,) + stacked_r.shape[2:])
         rl = resize(flat_l, target_res)

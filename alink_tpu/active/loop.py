@@ -158,6 +158,7 @@ class ALinkLoop:
         self.adversarial_kwargs = adversarial_kwargs
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
         self.state = ALinkState(m2_state=m2_state)
+        self._chunk_jit = None  # built lazily; see _process_chunk
         self.logs: list[IterationLog] = []
         # Per-phase wall-clock accounting (SURVEY.md section 5.1 — the
         # reference has no tracing at all); read loop.timings.report().
@@ -178,7 +179,7 @@ class ALinkLoop:
             self.student_featurize(jnp.asarray(right_imgs)),
         )
 
-    def _student_probs(self, left_in, right_in) -> jnp.ndarray:
+    def _student_probs(self, m2_params, left_in, right_in) -> jnp.ndarray:
         """M2 P(genuine) per pair (disguisedFacesModel.predict[:, 1]).
 
         ``student_is_head=True``: M2 is a feature-space SiameseHead and
@@ -186,50 +187,53 @@ class ALinkLoop:
         image model (SmallRes, ALINK_MTP) applied to its inputs directly.
         """
         if not self.student_is_head:
-            m2 = self.state.m2_state
-            logits = m2.logits_fn(m2.params, left_in, right_in)
+            logits = self.state.m2_state.logits_fn(
+                m2_params, left_in, right_in)
             return jax.nn.softmax(logits, axis=-1)[:, 1]
-        return pair_scores(self.state.m2_state.params, left_in, right_in)
+        return pair_scores(m2_params, left_in, right_in)
 
     # -- one slab --------------------------------------------------------
 
-    def _process_chunk(self, left_raw, right_raw):
-        """Device pass for one fixed-size pair chunk: M1 features/probs,
-        noise fan-out, student probs.  Inputs are device arrays (gathered
-        from the resident image pool); returns small host arrays plus the
-        student inputs still on device."""
-        with self.timings.phase("featurize"):
-            fl = self.featurize(left_raw)
-            fr = self.featurize(right_raw)
-        with self.timings.phase("committee"):
-            m1_probs2 = self.committee.predict(fl, fr)
+    def _chunk_impl(self, m2_params, key, pool, left_idx, right_idx):
+        """One fixed-size pair chunk as a single traced program: pool
+        gather + M1 features/probs + noise fan-out + student probs.
+
+        Fusing the whole pass into ONE dispatch matters twice over: every
+        launch+fetch through a remote-device tunnel costs tens of ms
+        (measured: the phase-by-phase version spent ~1.5 s/round on
+        dispatch latency alone), and XLA only fuses/pipelines across
+        stage boundaries it can see in one program.  The image pool stays
+        uint8-resident; pairs materialise as in-program gathers."""
+        left_raw = jnp.take(pool, left_idx, axis=0).astype(jnp.float32)
+        right_raw = jnp.take(pool, right_idx, axis=0).astype(jnp.float32)
+        fl = self.featurize(left_raw)
+        fr = self.featurize(right_raw)
+        m1_probs2 = self.committee.predict(fl, fr)
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
         # Noise fan-out on raw pixels, resized to the student's resolution
         # (ALINK.py:163-164; ALINK_MTP.py:164-165).  The attack targets the
         # LIVE student params (PredictionWrappedModel holds the mutable
         # model, noise.py:153-168).
-        with self.timings.phase("noise_attack"):
-            noisy_l, noisy_r = self.committee.attack_model(
-                self._next_key(),
-                left_raw,
-                right_raw,
-                self.student_res,
-                m1_labels=m1_labels,
-                adversarial_predict=self.adversarial_predict,
-                adversarial_params=self.state.m2_state.params,
-                adversarial_kwargs=self.adversarial_kwargs,
-            )
+        noisy_l, noisy_r = self.committee.attack_model(
+            key,
+            left_raw,
+            right_raw,
+            self.student_res,
+            m1_labels=m1_labels,
+            adversarial_predict=self.adversarial_predict,
+            adversarial_params=m2_params,
+            adversarial_kwargs=self.adversarial_kwargs,
+        )
         k_noise, nc = noisy_l.shape[0], noisy_l.shape[1]
 
         # Student under every channel (ALINK.py:167-170), all K channels as
         # ONE flattened batch (the reference re-featurizes channel by
         # channel, ALINK.py:167).
-        with self.timings.phase("student"):
-            flat_l = noisy_l.reshape((-1,) + noisy_l.shape[2:])
-            flat_r = noisy_r.reshape((-1,) + noisy_r.shape[2:])
-            sli, sri = self._student_inputs(flat_l, flat_r)
-            flat_probs = self._student_probs(sli, sri)  # (K*nc,)
+        flat_l = noisy_l.reshape((-1,) + noisy_l.shape[2:])
+        flat_r = noisy_r.reshape((-1,) + noisy_r.shape[2:])
+        sli, sri = self._student_inputs(flat_l, flat_r)
+        flat_probs = self._student_probs(m2_params, sli, sri)  # (K*nc,)
         # Probabilities stay on device; the caller concatenates across
         # chunks and fetches once (each host fetch is a full round trip).
         return (
@@ -238,6 +242,17 @@ class ALinkLoop:
             sli.reshape((k_noise, nc) + sli.shape[1:]),
             sri.reshape((k_noise, nc) + sri.shape[1:]),
         )
+
+    def _process_chunk(self, pool, left_idx, right_idx):
+        """Jitted-once wrapper of ``_chunk_impl``; the mutable student
+        params and the RNG key flow through as arguments so per-round
+        finetunes never retrace."""
+        if self._chunk_jit is None:
+            self._chunk_jit = jax.jit(self._chunk_impl)
+        with self.timings.phase("chunk"):
+            return self._chunk_jit(self.state.m2_state.params,
+                                   self._next_key(), pool,
+                                   left_idx, right_idx)
 
     def run_iteration(
         self,
@@ -251,9 +266,11 @@ class ALinkLoop:
             flat_images, left_idx, right_idx, y = self.pair_builder(
                 plain_part, dig_part)
             if self.pool_uint8:
+                # The pool stays uint8-resident end to end (4x less
+                # host->device traffic AND 4x less HBM); the f32 cast
+                # happens inside the chunk program after the pair gather.
                 pool = jnp.asarray(
-                    np.clip(np.asarray(flat_images), 0, 255).astype(np.uint8)
-                ).astype(jnp.float32)
+                    np.clip(np.asarray(flat_images), 0, 255).astype(np.uint8))
             else:
                 pool = jnp.asarray(flat_images)
         n = len(y)
@@ -273,8 +290,9 @@ class ALinkLoop:
             if pad:
                 idx = np.concatenate([idx, np.full(pad, idx[-1])])
             m1c, pc, slc, src = self._process_chunk(
-                pool[jnp.asarray(left_idx[idx])],
-                pool[jnp.asarray(right_idx[idx])],
+                pool,
+                jnp.asarray(left_idx[idx]),
+                jnp.asarray(right_idx[idx]),
             )
             m1_chunks.append(m1c[:take])
             probs_chunks.append(pc[:, :take])
@@ -362,8 +380,10 @@ class ALinkLoop:
                 with self.timings.phase("finetune"):
                     # Clean raw pairs only for the queried rows (device
                     # gather from the resident pool).
-                    ql = pool[jnp.asarray(left_idx[queried])]
-                    qr = pool[jnp.asarray(right_idx[queried])]
+                    ql = pool[jnp.asarray(left_idx[queried])].astype(
+                        jnp.float32)
+                    qr = pool[jnp.asarray(right_idx[queried])].astype(
+                        jnp.float32)
                     sfl, sfr = self._student_inputs(
                         resize(ql, self.student_res),
                         resize(qr, self.student_res),
