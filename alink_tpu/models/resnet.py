@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -99,6 +100,86 @@ class VGGFaceResNet50(nn.Module):
         # Global average pool == keras avg_pool(7x7) at 224x224 input.
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return x  # (N, 2048)
+
+
+def _fold_bn(bn: dict, eps: float = 1e-5):
+    """_FrozenBN params -> (scale, shift) in f32."""
+    s = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
+    return s, bn["beta"] - bn["mean"] * s
+
+
+def vggface_resnet50_fused_apply(
+    variables, x: jnp.ndarray,
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``VGGFaceResNet50.apply`` with stride-1 bottlenecks as fused Pallas
+    blocks (ops/resblock.py) — same parameters, same topology, ~bf16-level
+    numerics.
+
+    Why: XLA runs this backbone at ~44 TF/s because the bottleneck 1x1
+    convs are bandwidth-bound (BENCHMARKS.md, stage ablation); the fused
+    block holds y1/y2 in VMEM so each block reads x once and writes out
+    once.  The stem and the three stride-2 blocks stay on XLA (a strided
+    1x1 conv is a subsample + matmul; the strided 3x3 uses the native conv
+    emitter).
+    """
+    from alink_tpu.ops.resblock import (BottleneckWeights, bottleneck_chain)
+
+    P = variables["params"]
+    dt = jnp.bfloat16
+    y = x.astype(dt)
+    y = jax.lax.conv_general_dilated(
+        y, P["Conv_0"]["kernel"].astype(dt), (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    s, b = _fold_bn(P["_FrozenBN_0"])
+    y = jnp.maximum(y * s.astype(dt) + b.astype(dt), 0)
+    y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    def wts(bp: dict) -> BottleneckWeights:
+        s1, b1 = _fold_bn(bp["_FrozenBN_0"])
+        s2, b2 = _fold_bn(bp["_FrozenBN_1"])
+        s3, b3 = _fold_bn(bp["_FrozenBN_2"])
+        proj = "Conv_3" in bp
+        sp, bpp = _fold_bn(bp["_FrozenBN_3"]) if proj else (None, None)
+        return BottleneckWeights(
+            bp["Conv_0"]["kernel"][0, 0], s1, b1,
+            bp["Conv_1"]["kernel"], s2, b2,
+            bp["Conv_2"]["kernel"][0, 0], s3, b3,
+            bp["Conv_3"]["kernel"][0, 0] if proj else None, sp, bpp,
+        )
+
+    def strided_block(bp: dict, y: jnp.ndarray) -> jnp.ndarray:
+        """Stride-2 bottleneck on XLA (3 of 16 blocks)."""
+        s1, b1 = _fold_bn(bp["_FrozenBN_0"])
+        z = y[:, ::2, ::2] @ bp["Conv_0"]["kernel"][0, 0].astype(dt)
+        z = jnp.maximum(z * s1.astype(dt) + b1.astype(dt), 0)
+        s2, b2 = _fold_bn(bp["_FrozenBN_1"])
+        z = jax.lax.conv_general_dilated(
+            z, bp["Conv_1"]["kernel"].astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        z = jnp.maximum(z * s2.astype(dt) + b2.astype(dt), 0)
+        s3, b3 = _fold_bn(bp["_FrozenBN_2"])
+        z = z @ bp["Conv_2"]["kernel"][0, 0].astype(dt)
+        z = z * s3.astype(dt) + b3.astype(dt)
+        sp, bpp = _fold_bn(bp["_FrozenBN_3"])
+        sc = y[:, ::2, ::2] @ bp["Conv_3"]["kernel"][0, 0].astype(dt)
+        sc = sc * sp.astype(dt) + bpp.astype(dt)
+        return jnp.maximum(z + sc, 0)
+
+    idx = 0
+    for stage, blocks in enumerate(stage_sizes):
+        chain = []
+        for bi in range(blocks):
+            bp = P[f"_Bottleneck_{idx}"]
+            idx += 1
+            if bi == 0 and stage > 0:
+                y = strided_block(bp, y)
+            else:
+                chain.append(wts(bp))
+        if chain:
+            y = bottleneck_chain(y, tuple(chain), interpret=interpret)
+    return jnp.mean(y.astype(jnp.float32), axis=(1, 2))
 
 
 class _SEBottleneck(nn.Module):
