@@ -194,7 +194,8 @@ class ALinkLoop:
 
     # -- one slab --------------------------------------------------------
 
-    def _chunk_impl(self, m2_params, key, pool, left_idx, right_idx):
+    def _chunk_impl(self, m2_params, committee_params, key, pool, left_idx,
+                    right_idx):
         """One fixed-size pair chunk as a single traced program: pool
         gather + M1 features/probs + noise fan-out + student probs.
 
@@ -208,7 +209,10 @@ class ALinkLoop:
         right_raw = jnp.take(pool, right_idx, axis=0).astype(jnp.float32)
         fl = self.featurize(left_raw)
         fr = self.featurize(right_raw)
-        m1_probs2 = self.committee.predict(fl, fr)
+        from alink_tpu.active.committee import _committee_predict
+
+        m1_probs2 = _committee_predict(self.committee.head, committee_params,
+                                       fl, fr)
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
         # Noise fan-out on raw pixels, resized to the student's resolution
@@ -244,13 +248,15 @@ class ALinkLoop:
         )
 
     def _process_chunk(self, pool, left_idx, right_idx):
-        """Jitted-once wrapper of ``_chunk_impl``; the mutable student
-        params and the RNG key flow through as arguments so per-round
-        finetunes never retrace."""
+        """Jitted-once wrapper of ``_chunk_impl``; the mutable student and
+        committee params and the RNG key flow through as arguments, so
+        per-round finetunes (or committee refreshes) never retrace and are
+        never served from stale trace-time constants."""
         if self._chunk_jit is None:
             self._chunk_jit = jax.jit(self._chunk_impl)
         with self.timings.phase("chunk"):
             return self._chunk_jit(self.state.m2_state.params,
+                                   self.committee.params,
                                    self._next_key(), pool,
                                    left_idx, right_idx)
 
@@ -265,14 +271,22 @@ class ALinkLoop:
             # uploads ONCE; every pair materialises as a device gather.
             flat_images, left_idx, right_idx, y = self.pair_builder(
                 plain_part, dig_part)
+            # The pool is an argument of the fused chunk program, so its
+            # row count is part of the compiled signature: bucket it up to
+            # a multiple of 64 so varying per-iteration pool sizes reuse
+            # one compilation instead of retracing.
+            pool_np = np.asarray(flat_images)
+            bucket = -(-pool_np.shape[0] // 64) * 64
+            pad = ((0, bucket - pool_np.shape[0]),) + ((0, 0),) * (
+                pool_np.ndim - 1)
             if self.pool_uint8:
                 # The pool stays uint8-resident end to end (4x less
                 # host->device traffic AND 4x less HBM); the f32 cast
                 # happens inside the chunk program after the pair gather.
-                pool = jnp.asarray(
-                    np.clip(np.asarray(flat_images), 0, 255).astype(np.uint8))
+                pool = jnp.asarray(np.pad(
+                    np.clip(pool_np, 0, 255).astype(np.uint8), pad))
             else:
-                pool = jnp.asarray(flat_images)
+                pool = jnp.asarray(np.pad(pool_np, pad))
         n = len(y)
         self.state.un_size += n  # ALINK.py:154
 

@@ -47,7 +47,7 @@ from alink_tpu.ops.boxes import (
 from alink_tpu.ops.image import (affine_warp, affine_warp_batch,
                                  affine_warp_batch_pallas, crop_and_resize,
                                  resize)
-from alink_tpu.ops.nms import nms
+from alink_tpu.ops.nms import nms, nms_batch
 from alink_tpu.ops.umeyama import arcface_template, umeyama
 
 
@@ -138,12 +138,13 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
     # Per-scale NMS 0.5 (helper.py:161-164): all pyramid levels share one
     # candidate budget, so the whole pyramid suppresses as ONE vmapped
     # call instead of a sequential loop per level.
-    keep = jax.vmap(lambda b, s, v: nms(b, s, v, 0.5))(
-        jnp.stack(boxes_l), jnp.stack(scores_l), jnp.stack(valid_l))
+    stacked_valid = jnp.stack(valid_l)
+    keep = nms_batch(jnp.stack(boxes_l), jnp.stack(scores_l),
+                     stacked_valid, 0.5)
     boxes = jnp.concatenate(boxes_l)
     scores = jnp.concatenate(scores_l)
     regs = jnp.concatenate(regs_l)
-    valid = jnp.concatenate([v & k for v, k in zip(valid_l, keep)])
+    valid = (stacked_valid & keep).reshape(-1)
     # Global NMS 0.7 Union (mtcnn_detector.py:378).
     valid = valid & nms(boxes, scores, valid, 0.7)
     # First-stage regression + squaring (mtcnn_detector.py:381-394).
