@@ -31,5 +31,6 @@ from alink_tpu.parallel.distributed import (  # noqa: F401
 )
 from alink_tpu.parallel.ops import (  # noqa: F401
     sharded_committee_probs,
+    sharded_face_pipeline,
     sharded_featurize,
 )

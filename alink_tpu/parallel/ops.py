@@ -57,6 +57,23 @@ def sharded_featurize(
     return fn(images)[:n]
 
 
+def sharded_face_pipeline(mesh: Mesh, face_model, images) -> jnp.ndarray:
+    """Detect->align->embed with the image batch sharded over the mesh.
+
+    The production serving fan-out: ``FaceModel.pipeline`` (one fused
+    program per shard — cascade, alignment warp, embedder) runs data-
+    parallel across every device; no collectives are needed because the
+    pipeline is per-image.  Greenfield vs the reference's batch=1 single
+    GPU context (face_model.py:39, SURVEY.md section 2.4).
+    """
+    return sharded_featurize(
+        mesh,
+        lambda im: face_model.pipeline(face_model.embed_params,
+                                       face_model.cascade_params, im),
+        images,
+    )
+
+
 def sharded_committee_probs(
     mesh: Mesh,
     head,

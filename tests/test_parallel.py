@@ -41,6 +41,32 @@ class TestShardedOps:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(featurize(images)), atol=1e-6)
 
+    def test_sharded_face_pipeline_matches_local(self, mesh8):
+        """detect->align->embed sharded over the mesh must equal the
+        single-device pipeline (data-parallel serving fan-out)."""
+        from alink_tpu.detect import (CascadeConfig, FaceModel,
+                                      init_cascade_params)
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel import sharded_face_pipeline
+
+        cfg = CascadeConfig(thresholds=(0.0, 0.0, 0.0),
+                            stage1_scale_budget=8, stage1_budget=8,
+                            stage2_budget=4, stage3_budget=2)
+        embedder = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1),
+                                    dtype=jnp.float32)
+        eparams = embedder.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 112, 112, 3)))
+        cparams = init_cascade_params(jax.random.PRNGKey(1))
+        fm = FaceModel(eparams, cparams, cfg)
+        fm.embedder = embedder
+        images = jax.random.uniform(jax.random.PRNGKey(2), (9, 40, 40, 3),
+                                    jnp.float32, 0.0, 255.0)
+        got = sharded_face_pipeline(mesh8, fm, images)
+        want = fm.pipeline(eparams, cparams, images)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
     def test_sharded_committee_matches_vmap(self, mesh8):
         head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
         d = 16
