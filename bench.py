@@ -47,7 +47,7 @@ def main() -> None:
     from alink_tpu.models import ArcFaceResNet100
 
     on_tpu = jax.default_backend() == "tpu"
-    batch = 512 if on_tpu else 8
+    batch = 256 if on_tpu else 8  # measured sweet spot (BENCHMARKS.md)
     iters = 30 if on_tpu else 2
     model = ArcFaceResNet100() if on_tpu else ArcFaceResNet100(
         stage_sizes=(1, 1, 1, 1))
