@@ -63,7 +63,14 @@ class Committee:
 
     def predict(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
         """Mean ensemble probabilities (committee.py:13-20): (N, 2)."""
-        return _committee_predict(self.head, self.params, left, right)
+        return self.predict_with(self.params, left, right)
+
+    def predict_with(self, stacked_params, left, right) -> jnp.ndarray:
+        """``predict`` with explicitly-threaded params — for callers that
+        trace the committee inside a larger jitted program and must pass
+        params as arguments rather than capture them as constants
+        (active/loop.py's fused chunk)."""
+        return _committee_predict(self.head, stacked_params, left, right)
 
     def member_probs(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
         """(E, N, 2) per-member probabilities (Committee.vote_proba path,

@@ -209,10 +209,7 @@ class ALinkLoop:
         right_raw = jnp.take(pool, right_idx, axis=0).astype(jnp.float32)
         fl = self.featurize(left_raw)
         fr = self.featurize(right_raw)
-        from alink_tpu.active.committee import _committee_predict
-
-        m1_probs2 = _committee_predict(self.committee.head, committee_params,
-                                       fl, fr)
+        m1_probs2 = self.committee.predict_with(committee_params, fl, fr)
         m1_labels = jax.nn.one_hot(jnp.argmax(m1_probs2, axis=-1), 2)
 
         # Noise fan-out on raw pixels, resized to the student's resolution

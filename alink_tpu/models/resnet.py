@@ -108,6 +108,26 @@ def _fold_bn(bn: dict, eps: float = 1e-5):
     return s, bn["beta"] - bn["mean"] * s
 
 
+def bottleneck_weights(block_params: dict):
+    """Flax ``_Bottleneck`` params -> ops.resblock.BottleneckWeights
+    (1x1 kernels squeezed, BN folded to scale/shift, projection optional).
+    """
+    from alink_tpu.ops.resblock import BottleneckWeights
+
+    bp = block_params
+    s1, b1 = _fold_bn(bp["_FrozenBN_0"])
+    s2, b2 = _fold_bn(bp["_FrozenBN_1"])
+    s3, b3 = _fold_bn(bp["_FrozenBN_2"])
+    proj = "Conv_3" in bp
+    sp, bpp = _fold_bn(bp["_FrozenBN_3"]) if proj else (None, None)
+    return BottleneckWeights(
+        bp["Conv_0"]["kernel"][0, 0], s1, b1,
+        bp["Conv_1"]["kernel"], s2, b2,
+        bp["Conv_2"]["kernel"][0, 0], s3, b3,
+        bp["Conv_3"]["kernel"][0, 0] if proj else None, sp, bpp,
+    )
+
+
 def vggface_resnet50_fused_apply(
     variables, x: jnp.ndarray,
     stage_sizes: Sequence[int] = (3, 4, 6, 3),
@@ -124,7 +144,7 @@ def vggface_resnet50_fused_apply(
     1x1 conv is a subsample + matmul; the strided 3x3 uses the native conv
     emitter).
     """
-    from alink_tpu.ops.resblock import (BottleneckWeights, bottleneck_chain)
+    from alink_tpu.ops.resblock import bottleneck_chain
 
     P = variables["params"]
     dt = jnp.bfloat16
@@ -135,19 +155,6 @@ def vggface_resnet50_fused_apply(
     s, b = _fold_bn(P["_FrozenBN_0"])
     y = jnp.maximum(y * s.astype(dt) + b.astype(dt), 0)
     y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
-    def wts(bp: dict) -> BottleneckWeights:
-        s1, b1 = _fold_bn(bp["_FrozenBN_0"])
-        s2, b2 = _fold_bn(bp["_FrozenBN_1"])
-        s3, b3 = _fold_bn(bp["_FrozenBN_2"])
-        proj = "Conv_3" in bp
-        sp, bpp = _fold_bn(bp["_FrozenBN_3"]) if proj else (None, None)
-        return BottleneckWeights(
-            bp["Conv_0"]["kernel"][0, 0], s1, b1,
-            bp["Conv_1"]["kernel"], s2, b2,
-            bp["Conv_2"]["kernel"][0, 0], s3, b3,
-            bp["Conv_3"]["kernel"][0, 0] if proj else None, sp, bpp,
-        )
 
     def strided_block(bp: dict, y: jnp.ndarray) -> jnp.ndarray:
         """Stride-2 bottleneck on XLA (3 of 16 blocks)."""
@@ -176,7 +183,7 @@ def vggface_resnet50_fused_apply(
             if bi == 0 and stage > 0:
                 y = strided_block(bp, y)
             else:
-                chain.append(wts(bp))
+                chain.append(bottleneck_weights(bp))
         if chain:
             y = bottleneck_chain(y, tuple(chain), interpret=interpret)
     return jnp.mean(y.astype(jnp.float32), axis=(1, 2))

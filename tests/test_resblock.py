@@ -11,8 +11,9 @@ import numpy as np
 import pytest
 
 from alink_tpu.models.resnet import (VGGFaceResNet50, _Bottleneck,
+                                     bottleneck_weights,
                                      vggface_resnet50_fused_apply)
-from alink_tpu.ops.resblock import BottleneckWeights, bottleneck_chain
+from alink_tpu.ops.resblock import bottleneck_chain
 
 RNG = np.random.RandomState(7)
 
@@ -39,27 +40,6 @@ def _rand_bn(P):
     return out
 
 
-def _fold(bn):
-    s = bn["gamma"] / jnp.sqrt(bn["var"] + 1e-5)
-    return s, bn["beta"] - bn["mean"] * s
-
-
-def _extract(p, project):
-    P = p["params"]
-    s1, b1 = _fold(P["_FrozenBN_0"])
-    s2, b2 = _fold(P["_FrozenBN_1"])
-    s3, b3 = _fold(P["_FrozenBN_2"])
-    if project:
-        sp, bp = _fold(P["_FrozenBN_3"])
-        return BottleneckWeights(
-            P["Conv_0"]["kernel"][0, 0], s1, b1, P["Conv_1"]["kernel"],
-            s2, b2, P["Conv_2"]["kernel"][0, 0], s3, b3,
-            P["Conv_3"]["kernel"][0, 0], sp, bp)
-    return BottleneckWeights(
-        P["Conv_0"]["kernel"][0, 0], s1, b1, P["Conv_1"]["kernel"],
-        s2, b2, P["Conv_2"]["kernel"][0, 0], s3, b3)
-
-
 @pytest.mark.parametrize("project,cin,f", [(True, 16, 8), (False, 32, 8)])
 def test_single_block_matches_flax(project, cin, f):
     blk = _Bottleneck(f, stride=1, project=project, dtype=jnp.float32)
@@ -67,7 +47,7 @@ def test_single_block_matches_flax(project, cin, f):
     p = blk.init(jax.random.PRNGKey(0), x)
     p = {"params": _rand_bn(dict(p["params"]))}
     want = np.asarray(blk.apply(p, x))
-    got = np.asarray(bottleneck_chain(x, (_extract(p, project),),
+    got = np.asarray(bottleneck_chain(x, (bottleneck_weights(p["params"]),),
                                       interpret=True))
     # bf16 compute in the kernel vs f32 flax reference.
     assert np.max(np.abs(want - got)) / (np.max(np.abs(want)) + 1e-9) < 0.02
@@ -86,7 +66,8 @@ def test_chained_blocks_match_flax_sequence():
         b1.init(jax.random.PRNGKey(2), y)["params"]))}
     want = np.asarray(b1.apply(p1, y))
     got = np.asarray(bottleneck_chain(
-        x, (_extract(p0, True), _extract(p1, False)), interpret=True))
+        x, (bottleneck_weights(p0["params"]),
+            bottleneck_weights(p1["params"])), interpret=True))
     assert np.max(np.abs(want - got)) / (np.max(np.abs(want)) + 1e-9) < 0.03
 
 
