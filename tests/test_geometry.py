@@ -53,6 +53,27 @@ def test_nms_matches_greedy_reference(mode, seed):
     assert sorted(np.where(keep)[0].tolist()) == expected
 
 
+def test_nms_deep_suppression_chain():
+    """Worst case for the Jacobi fixed-point NMS: a descending-score line
+    of boxes where each overlaps only its neighbours, so keep/suppress
+    alternates along a long dependency chain (the regime where the
+    iteration needs ~chain-depth rounds, unlike random layouts which
+    converge in 2-3)."""
+    k = 64
+    # Box i spans [6i, 6i+10): IoU with neighbour = 4/16 = 0.25 > 0.2,
+    # zero overlap beyond the immediate neighbour.
+    x = 6.0 * np.arange(k)
+    b = np.stack([x, np.zeros(k), x + 9.0, np.full(k, 9.0)],
+                 axis=1).astype(np.float32)
+    s = np.linspace(1.0, 0.1, k).astype(np.float32)  # strictly descending
+    keep = np.asarray(
+        nmsops.nms(jnp.asarray(b), jnp.asarray(s), jnp.ones(k, bool), 0.2))
+    expected = _greedy_nms_reference(b, s, 0.2, "union")
+    # Greedy on a chain keeps every other box: 0, 2, 4, ...
+    assert expected == list(range(0, k, 2))
+    assert sorted(np.where(keep)[0].tolist()) == expected
+
+
 def test_nms_respects_validity_mask():
     b = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
     s = jnp.array([0.9, 0.8])
