@@ -154,8 +154,16 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
     return select_topk(boxes, scores, valid, cfg.stage1_budget)
 
 
+def _crop_dtype():
+    """bf16 crop intermediates on TPU (<=1 LSB on uint8-range pixels, and
+    the crops feed bf16 conv towers anyway); full f32 elsewhere —
+    evaluated at trace time so the CPU test backend stays fast/exact."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+
+
 def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
-    crops = crop_and_resize(img, boxes, (24, 24))
+    crops = crop_and_resize(img, boxes, (24, 24),
+                            compute_dtype=_crop_dtype())
     prob, reg = _RNET.apply(params.rnet, preprocess.mtcnn(crops))
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[1])  # (:418)
@@ -167,7 +175,8 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
 
 
 def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
-    crops = crop_and_resize(img, boxes, (48, 48))
+    crops = crop_and_resize(img, boxes, (48, 48),
+                            compute_dtype=_crop_dtype())
     prob, reg, lmk = _ONET.apply(params.onet, preprocess.mtcnn(crops))
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[2])  # (:451)

@@ -304,6 +304,7 @@ def crop_and_resize(
     img: jnp.ndarray,
     boxes: jnp.ndarray,
     out_size: tuple[int, int],
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Crop integer boxes [x1, y1, x2, y2] (inclusive, reference convention
     width = x2 - x1 + 1) from one HWC image and resize each to ``out_size``.
@@ -333,5 +334,12 @@ def crop_and_resize(
     wx = jnp.maximum(
         0.0, 1.0 - jnp.abs(src_x[:, :, None]
                            - jnp.arange(w, dtype=jnp.float32)))  # (K,ow,W)
-    rows = jnp.einsum("koh,hwc->kowc", wy, img.astype(jnp.float32))
-    return jnp.einsum("kpw,kowc->kopc", wx, rows).astype(img.dtype)
+    # ``compute_dtype=bfloat16`` halves the HBM traffic of the weight and
+    # row intermediates; tap weights are exact to ~2^-8, i.e. <=1 LSB on
+    # uint8-range pixels — the budget the cascade's conv stages already
+    # accept.  The coordinates above stay f32 (never through a matmul).
+    cdt = compute_dtype or jnp.float32
+    rows = jnp.einsum("koh,hwc->kowc", wy.astype(cdt), img.astype(cdt),
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
+                      preferred_element_type=jnp.float32).astype(img.dtype)
