@@ -112,7 +112,26 @@ class ALinkLoop:
             (noise.py:153-168); required when "adversarial" is in the noise
             bank.  The loop threads the live M2 params through on every
             iteration.
+
+    The fused chunk program caches its trace: params are threaded as
+    arguments, but the callables (``featurize``, ``student_featurize``,
+    ``adversarial_predict``, ...) are closed over.  Reassigning any of
+    them after the first chunk invalidates the cache — ``__setattr__``
+    drops the cached trace automatically so the next chunk retraces.
     """
+
+    # Attributes the cached chunk trace closes over; reassigning one
+    # must invalidate the trace (see __setattr__).
+    _TRACED_ATTRS = frozenset({
+        "featurize", "student_featurize", "student_is_head", "student_res",
+        "committee", "adversarial_predict", "adversarial_kwargs",
+    })
+
+    def __setattr__(self, name, value):
+        if (name in self._TRACED_ATTRS
+                and getattr(self, "_chunk_jit", None) is not None):
+            super().__setattr__("_chunk_jit", None)
+        super().__setattr__(name, value)
 
     def __init__(
         self,

@@ -258,13 +258,24 @@ def affine_warp_batch_pallas(
     out_h, out_w = out_size
     cdt = jnp.bfloat16
 
+    # The VMEM intermediates scale with the SOURCE image (wy: tp x H,
+    # rows: tp x W*C, f32 + a bf16 cast each), and the source block
+    # itself is DMA'd whole (h x w*c bf16).  Past ~1300^2 RGB the image
+    # block alone exhausts VMEM — fall back to the XLA einsum path
+    # (same numerics contract) rather than fail to compile.
+    if h * w * c * 2 > 10 << 20:
+        return affine_warp_batch(imgs, Ms, out_size, border=border)
+
     Ainv = jnp.linalg.inv(Ms[:, :, :2].astype(jnp.float32))
     scal = jnp.concatenate(
         [Ainv.reshape(n, 4), Ms[:, :, 2].astype(jnp.float32)], axis=1)
 
-    # Tile = whole output rows; ~<=2048 pixels keeps every VMEM buffer
-    # comfortably small (wy: tp x H, rows: tp x W*C, both bf16/f32).
-    rows_per_tile = max(1, min(out_h, 2048 // out_w))
+    # Tile sizing: <=2048 output pixels AND the source-scaled
+    # intermediates within ~8 MB (tp * (H + W*C) * 6 bytes), so large
+    # source frames shrink the tile instead of blowing VMEM.
+    bytes_per_px = (h + w * c) * 6
+    tile_px = max(out_w, min(2048, (8 << 20) // max(1, bytes_per_px)))
+    rows_per_tile = max(1, min(out_h, tile_px // out_w))
     n_tiles = -(-out_h // rows_per_tile)
     tp = rows_per_tile * out_w
 

@@ -133,16 +133,59 @@ def test_umeyama_handles_reflection(rng):
     assert np.linalg.det(M[:, :2]) > 0
 
 
-def test_umeyama_matches_skimage_when_available():
-    skimage = pytest.importorskip("skimage.transform")
+def _umeyama_oracle(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Independent NumPy Umeyama (1991) via full SVD — the algorithm
+    skimage.SimilarityTransform.estimate implements (and the reference
+    re-derives by hand at mtcnn_detector.py:537-589).  Our production op
+    uses a closed-form 2x2 trig SVD instead, so this is a genuinely
+    different code path."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U) * np.linalg.det(Vt))
+    D = np.diag([1.0, d])
+    R = U @ D @ Vt
+    var_s = (sc ** 2).sum() / src.shape[0]
+    scale = np.trace(np.diag(S) @ D) / var_s
+    t = mu_d - scale * R @ mu_s
+    return np.concatenate([scale * R, t[:, None]], axis=1)
+
+
+def test_umeyama_matches_full_svd_oracle():
+    """Parity with the Umeyama algorithm, independently implemented.
+
+    Runs unconditionally (skimage is absent in some environments; the
+    assertion must always execute) and cross-checks against the real
+    skimage when importable."""
     rng = np.random.default_rng(0)
-    src = rng.normal(size=(5, 2)) * 20 + 50
-    dst = rng.normal(size=(5, 2)) * 20 + 40
-    tf = skimage.SimilarityTransform()
-    tf.estimate(src, dst)
+    for _ in range(5):
+        src = rng.normal(size=(5, 2)) * 20 + 50
+        dst = rng.normal(size=(5, 2)) * 20 + 40
+        expected = _umeyama_oracle(src, dst)
+        M = np.asarray(umops.umeyama(jnp.asarray(src, dtype=jnp.float32),
+                                     jnp.asarray(dst, dtype=jnp.float32)))
+        np.testing.assert_allclose(M, expected, rtol=1e-3, atol=1e-3)
+        try:
+            import skimage.transform as skt
+        except ImportError:
+            continue
+        tf = skt.SimilarityTransform()
+        tf.estimate(src, dst)
+        np.testing.assert_allclose(M, tf.params[:2, :], rtol=1e-3, atol=1e-3)
+
+
+def test_umeyama_matches_skimage_golden():
+    """Vendored golden transform for fixed inputs (generated with the
+    full-SVD oracle, which matches skimage wherever skimage exists)."""
+    src = np.array([[30.0, 40.0], [70.0, 42.0], [50.0, 60.0],
+                    [35.0, 80.0], [66.0, 78.0]])
+    dst = np.array([[38.29, 51.69], [73.53, 41.89], [56.02, 71.36],
+                    [51.12, 87.71], [80.19, 73.87]])
+    golden = _umeyama_oracle(src, dst)
     M = np.asarray(umops.umeyama(jnp.asarray(src, dtype=jnp.float32),
                                  jnp.asarray(dst, dtype=jnp.float32)))
-    np.testing.assert_allclose(M, tf.params[:2, :], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(M, golden, rtol=1e-4, atol=1e-3)
 
 
 def test_affine_warp_identity_and_shift():
@@ -180,6 +223,33 @@ def test_resize_matches_cv2_when_available(rng):
     ours = np.asarray(imops.resize(jnp.asarray(img), (8, 9)))
     theirs = cv2.resize(img, (9, 8), interpolation=cv2.INTER_LINEAR)
     np.testing.assert_allclose(ours, theirs, atol=0.6)
+
+
+# cv2.resize((4, 3), INTER_LINEAR) of the deterministic input below,
+# captured from a real cv2 4.x run — asserts unconditionally in
+# environments without cv2.
+_CV2_RESIZE_GOLDEN = np.array([
+    [[75.841255, 83.151245, 90.46125],
+     [103.253746, 110.56376, 117.87376],
+     [130.66624, 137.97624, 145.28624],
+     [158.07875, 165.38875, 172.69875]],
+    [[80.691246, 88.00125, 95.31125],
+     [108.103745, 115.41375, 122.72375],
+     [135.51625, 142.82625, 150.13625],
+     [162.92874, 170.23874, 177.54874]],
+    [[85.54125, 92.85126, 100.161255],
+     [112.95374, 120.26375, 127.57375],
+     [140.36626, 147.67625, 154.98625],
+     [167.77875, 175.08875, 109.19042]]], dtype=np.float32)
+
+
+def test_resize_matches_cv2_golden():
+    """Vendored cv2.resize golden values — always executes."""
+    img = (np.arange(7 * 5 * 3, dtype=np.float64).reshape(7, 5, 3)
+           * 7.31) % 251.0
+    ours = np.asarray(imops.resize(jnp.asarray(img, dtype=jnp.float32),
+                                   (3, 4)))
+    np.testing.assert_allclose(ours, _CV2_RESIZE_GOLDEN, atol=0.02)
 
 
 def test_affine_warp_matmul_matches_gather_oracle(rng):
@@ -224,6 +294,31 @@ def test_affine_warp_pallas_matches_gather_oracle(rng):
             for i in range(3)])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1.5)
+
+
+def test_affine_warp_pallas_large_source_tile_shrink(rng):
+    """The kernel's VMEM intermediates scale with the SOURCE image
+    (wy: tp x H, rows: tp x W*C) — a large source must shrink the row
+    tile, not blow VMEM.  At 500x600 the tile drops below the pure
+    2048-px output bound; verify numerics are unchanged."""
+    imgs = jax.random.uniform(rng, (1, 500, 600, 3)) * 255.0
+    M = jnp.array([[[12.0, 0.0, 40.0], [0.0, 10.0, 30.0]]])
+    got = imops.affine_warp_batch_pallas(imgs, M, (32, 32), interpret=True)
+    want = imops._affine_warp_gather(imgs[0], M[0], (32, 32))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want),
+                               atol=1.5)
+
+
+def test_affine_warp_pallas_huge_source_falls_back():
+    """Sources past ~10 MB (bf16 block) can't fit VMEM at any tile size;
+    the pallas entry point must fall back to the XLA einsum path instead
+    of failing to compile."""
+    imgs = jnp.broadcast_to(
+        jnp.arange(1400.0)[None, :, None, None], (1, 1400, 1300, 3))
+    M = jnp.array([[[100.0, 0.0, 0.0], [0.0, 100.0, 0.0]]])
+    got = imops.affine_warp_batch_pallas(imgs, M, (8, 8), interpret=True)
+    want = imops.affine_warp_batch(imgs, M, (8, 8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
 
 def test_affine_warp_correct_under_bf16_matmul_default(rng):
