@@ -19,11 +19,13 @@ those parameter sets onto ``models.ArcFaceResNet100`` / ``models.mtcnn``:
 
 Input formats: a ``.npz`` (e.g. produced by
 ``numpy.savez(path, **{k: v.asnumpy() for k, v in mx.nd.load(p).items()})``
-on any machine with mxnet) or a raw ``dict`` of numpy arrays whose keys
-use MXNet's ``arg:``/``aux:`` prefixes or bare names.  A best-effort
-binary ``.params`` reader is included for the modern NDArray format; the
-``.npz`` path is the supported one (no mxnet exists in this environment
-to validate the binary reader against real files).
+on any machine with mxnet), a raw ``dict`` of numpy arrays whose keys
+use MXNet's ``arg:``/``aux:`` prefixes or bare names, or the binary
+``.params`` NDArray-list format itself (``read_mxnet_ndarray_file``,
+V1/V2/V3 + pre-magic legacy blobs, dense storage) — validated against
+byte-exact synthesized fixtures of the documented on-disk layout in
+tests/test_convert_mxnet.py, including a full model-r100-ii-shaped
+checkpoint round-tripped into a working forward.
 
 CLI: python -m alink_tpu.tools.convert_mxnet arcface model.npz out_ckpt
      python -m alink_tpu.tools.convert_mxnet pnet det1.npz out_ckpt
@@ -59,17 +61,32 @@ def load_raw(path: str) -> dict:
             read_mxnet_ndarray_file(path).items()}
 
 
-def read_mxnet_ndarray_file(path: str) -> dict:
-    """Best-effort reader for ``mx.nd.save`` files (dense f32 arrays).
+_NDARRAY_V1_MAGIC = 0xF993FAC8  # int64 TShape, no storage type
+_NDARRAY_V2_MAGIC = 0xF993FAC9  # + int32 storage type (mxnet >= 1.0)
+_NDARRAY_V3_MAGIC = 0xF993FACA  # numpy-shape semantics (mxnet 2.x)
+_DEFAULT_STORAGE = 0            # NDArrayStorageType::kDefaultStorage
 
-    Layout (mxnet src ``c_api.cc``/``ndarray.cc``): uint64 list magic
+
+def read_mxnet_ndarray_file(path: str) -> dict:
+    """Reader for ``mx.nd.save`` files (dense arrays).
+
+    Layout (mxnet ``src/c_api/c_api.cc`` MXNDArraySave +
+    ``src/ndarray/ndarray.cc`` NDArray::Save/Load): uint64 list magic
     0x112, uint64 reserved, uint64 count, count NDArray blobs, uint64
-    name count, names as (uint64 len, bytes).  Each blob: uint32 magic
-    0xF993FAC9 + int32 version (>= 2: int32 stype), shape as uint32 ndim
-    + int64 dims, int32 dev_type, int32 dev_id, int32 type_flag, data;
-    legacy blobs lead directly with the shape.  Only dense float32/
-    float64/float16 payloads are handled — convert to .npz with mxnet
-    for anything exotic.
+    name count, names as (uint64 len, bytes).  Each blob leads with a
+    uint32 magic:
+
+    - V2 (0xF993FAC9, every mxnet 1.x checkpoint incl. the reference's
+      ``model-r100-ii`` and ``det1..det4``) and V3 (0xF993FACA): int32
+      storage type (dense = kDefaultStorage = 0), shape as uint32 ndim +
+      int64 dims, int32 dev_type, int32 dev_id, int32 type_flag, data.
+    - V1 (0xF993FAC8): same but without the storage-type field.
+    - Anything else is a pre-magic legacy blob whose leading uint32 IS
+      the ndim of a uint32 TShape.
+
+    Only dense payloads are handled — convert sparse checkpoints to
+    ``.npz`` with mxnet elsewhere.  Covered against synthesized
+    real-format fixtures in tests/test_convert_mxnet.py.
     """
     with open(path, "rb") as f:
         buf = f.read()
@@ -96,19 +113,24 @@ def read_mxnet_ndarray_file(path: str) -> dict:
     arrays = []
     for _ in range(count):
         (magic,) = struct.unpack_from("<I", buf, off)
-        if magic == 0xF993FAC9:
+        if magic in (_NDARRAY_V2_MAGIC, _NDARRAY_V3_MAGIC):
             off += 4
-            version = i32()
-            if version >= 2:
-                stype = i32()
-                if stype != 1:  # kDefaultStorage
-                    raise ValueError("sparse NDArray not supported")
+            stype = i32()
+            if stype != _DEFAULT_STORAGE:
+                raise ValueError(
+                    f"{path}: sparse NDArray (stype={stype}) not supported")
+            (ndim,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            dims = struct.unpack_from(f"<{ndim}q", buf, off)
+            off += 8 * ndim
+        elif magic == _NDARRAY_V1_MAGIC:
+            off += 4
             (ndim,) = struct.unpack_from("<I", buf, off)
             off += 4
             dims = struct.unpack_from(f"<{ndim}q", buf, off)
             off += 8 * ndim
         else:
-            # Legacy: TShape as uint32 ndim + uint32 dims.
+            # Legacy: the leading uint32 is the ndim of a uint32 TShape.
             (ndim,) = struct.unpack_from("<I", buf, off)
             off += 4
             dims = struct.unpack_from(f"<{ndim}I", buf, off)

@@ -245,3 +245,84 @@ def test_arcface_ir_topology_matches_torch():
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_arcface_ir_stage_with_identity_shortcuts_matches_torch():
+    """Deeper-stage coverage: stride-1 IR units with *identity* shortcuts
+    (the (3, 13, 30, 3) net is mostly these; the tiny test above only
+    exercises projecting stride-2 units)."""
+    from alink_tpu.models import ArcFaceResNet100
+
+    torch.manual_seed(3)
+
+    class TorchArcFaceTwoPerStage(tnn.Module):
+        def __init__(self, embed=16):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 3, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+            self.prelu = tnn.PReLU(64)
+            units = []
+            cin = 64
+            for f in (64, 128, 256, 512):
+                units.append(TorchIRUnit(cin, f, stride=2))
+                units.append(TorchIRUnit(f, f, stride=1))  # identity sc
+                cin = f
+            self.units = tnn.ModuleList(units)
+            self.bn_out = tnn.BatchNorm2d(512, eps=1e-5)
+            self.fc = tnn.Linear(512 * 4 * 4, embed)
+
+        def forward(self, x):
+            x = self.prelu(self.bn1(self.conv1(x)))
+            for u in self.units:
+                x = u(x)
+            x = self.bn_out(x)
+            x = x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+            x = self.fc(x)
+            return torch.nn.functional.normalize(x, dim=-1)
+
+    tm = TorchArcFaceTwoPerStage().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    model = ArcFaceResNet100(stage_sizes=(2, 2, 2, 2), embedding_dim=16,
+                             dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    p = dict(init["params"])
+    p["Conv_0"] = {"kernel": _port_conv(tm.conv1)}
+    p["_FrozenBN_0"] = _port_bn(tm.bn1)
+    p["_PReLU_0"] = _port_prelu(tm.prelu)
+    for i, u in enumerate(tm.units):
+        up = {
+            "_FrozenBN_0": _port_bn(u.bn0),
+            "Conv_0": {"kernel": _port_conv(u.conv1)},
+            "_FrozenBN_1": _port_bn(u.bn1),
+            "_PReLU_0": _port_prelu(u.prelu),
+            "Conv_1": {"kernel": _port_conv(u.conv2)},
+            "_FrozenBN_2": _port_bn(u.bn2),
+        }
+        if u.project:
+            up["Conv_2"] = {"kernel": _port_conv(u.conv_sc)}
+            up["_FrozenBN_3"] = _port_bn(u.bn_sc)
+        p[f"_IRUnit_{i}"] = up
+    p["_FrozenBN_1"] = _port_bn(tm.bn_out)
+    p["Dense_0"] = {
+        "kernel": jnp.asarray(tm.fc.weight.detach().numpy().T),
+        "bias": jnp.asarray(tm.fc.bias.detach().numpy()),
+    }
+    p["fc1_gamma"] = jnp.ones_like(init["params"]["fc1_gamma"])
+    p["fc1_beta"] = jnp.zeros_like(init["params"]["fc1_beta"])
+    params = {"params": p}
+    assert jax.tree.structure(params) == jax.tree.structure(init)
+
+    x = np.random.default_rng(3).uniform(0, 255, (2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
