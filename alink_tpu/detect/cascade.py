@@ -29,6 +29,7 @@ back-to-back on device in one launch.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -39,6 +40,7 @@ from alink_tpu.models import preprocess
 from alink_tpu.models.mtcnn import LNet, ONet, PNet, RNet
 from alink_tpu.ops.boxes import (
     calibrate_box,
+    clip_to_image,
     convert_to_square,
     generate_bbox,
     refine_with_reg,
@@ -103,13 +105,15 @@ def init_cascade_params(key: jax.Array,
 
 def pyramid_scales(h: int, w: int, min_size: int, factor: float
                    ) -> list[float]:
-    """Static pyramid scale list (mtcnn_detector.py:337-347)."""
+    """Static pyramid scale list (mtcnn_detector.py:337-347): scales
+    12/minsize * factor^i while the scaled short side stays strictly
+    above 12 (the reference's ``while minl > MIN_DET_SIZE``)."""
     minl = min(h, w)
     base = 12.0 / min_size
     scales = []
     m = minl * base
     scale = base
-    while m >= 12.0:
+    while m > 12.0:
         scales.append(scale)
         scale *= factor
         m *= factor
@@ -121,7 +125,8 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
     scales = pyramid_scales(h, w, cfg.min_size, cfg.factor)
     boxes_l, scores_l, regs_l, valid_l = [], [], [], []
     for scale in scales:
-        sh, sw = int(h * scale), int(w * scale)
+        # Ceil dims: helper.py:148-149 (int(math.ceil(side * scale))).
+        sh, sw = int(math.ceil(h * scale)), int(math.ceil(w * scale))
         if sh < 12 or sw < 12:
             continue
         scaled = resize(img, (sh, sw))
@@ -162,8 +167,12 @@ def _crop_dtype():
 
 
 def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
+    # Crop geometry keeps the unclipped extent (pad()'s tmpw/tmph are
+    # computed before its in-place clamp, mtcnn_detector.py:148-151);
+    # everything downstream sees the clipped boxes (see clip_to_image).
     crops = crop_and_resize(img, boxes, (24, 24),
                             compute_dtype=_crop_dtype())
+    boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
     prob, reg = _RNET.apply(params.rnet, preprocess.mtcnn(crops))
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[1])  # (:418)
@@ -177,6 +186,9 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
 def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
     crops = crop_and_resize(img, boxes, (48, 48),
                             compute_dtype=_crop_dtype())
+    # pad()'s in-place clamp again: landmark decode and calibration both
+    # read the clipped squares (mtcnn_detector.py:441, 457-466).
+    boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
     prob, reg, lmk = _ONET.apply(params.onet, preprocess.mtcnn(crops))
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[2])  # (:451)

@@ -78,6 +78,21 @@ def convert_to_square(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x1, y1, x1 + side - 1.0, y1 + side - 1.0], axis=-1)
 
 
+def clip_to_image(boxes: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """Clamp box corners to the image: ``pad``'s in-place coordinate
+    mutation (mtcnn_detector.py:122-175 assigns through views of
+    ``total_boxes``, so after each pad() call the carried boxes are
+    clipped for everything downstream — threshold/NMS/calibrate of the
+    next stage — while the *crop geometry* keeps the unclipped extent
+    via tmpw/tmph computed before the mutation)."""
+    return jnp.stack([
+        jnp.maximum(boxes[:, 0], 0.0),
+        jnp.maximum(boxes[:, 1], 0.0),
+        jnp.minimum(boxes[:, 2], w - 1.0),
+        jnp.minimum(boxes[:, 3], h - 1.0),
+    ], axis=-1)
+
+
 def refine_with_reg(boxes: jnp.ndarray, reg5678: jnp.ndarray) -> jnp.ndarray:
     """First-stage refinement (mtcnn_detector.py:381-390): box + reg * size."""
     bw = (boxes[:, 2] - boxes[:, 0] + 1.0)[:, None]

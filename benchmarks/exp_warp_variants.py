@@ -32,7 +32,8 @@ def _kernel(scal_ref, img_ref, seg_ref, out_ref, *, out_w, rows_per_tile,
             h, w, c, cdt, group, fdiv):
     t = pl.program_id(1)
     tp = rows_per_tile * out_w
-    for g in range(group):
+
+    def one(g, _):
         i = pl.program_id(0) * group + g
         a00 = scal_ref[i, 0]
         a01 = scal_ref[i, 1]
@@ -50,16 +51,27 @@ def _kernel(scal_ref, img_ref, seg_ref, out_ref, *, out_w, rows_per_tile,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - h_idx))
         rows = jnp.dot(wy.astype(cdt), img_ref[g],
                        preferred_element_type=jnp.float32)
-        if fdiv:
+        if fdiv == "fdiv":
             fidx = jax.lax.broadcasted_iota(
                 jnp.int32, (tp, w * c), 1).astype(jnp.float32)
             wc_idx = jnp.floor((fidx + 0.5) * (1.0 / c))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - wc_idx))
+        elif fdiv == "minimal":
+            fidx = jax.lax.broadcasted_iota(
+                jnp.int32, (tp, w * c), 1).astype(jnp.float32)
+            wx = X - fidx  # no div/abs/max: VPU floor bound
         else:
             wc_idx = (jax.lax.broadcasted_iota(jnp.int32, (tp, w * c), 1)
                       // c).astype(jnp.float32)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - wc_idx))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - wc_idx))
         out_ref[g] = jnp.dot((rows * wx).astype(cdt), seg_ref[:],
                              preferred_element_type=jnp.float32)
+        return 0
+
+    if group == 1:
+        one(0, 0)
+    else:
+        jax.lax.fori_loop(0, group, one, 0)
 
 
 @partial(jax.jit, static_argnames=("out_size", "group", "fdiv"))
@@ -128,23 +140,20 @@ def main():
     template = arcface_template(OUT)
     Ms = jax.vmap(lambda l: umeyama(l, template))(lmk)
 
-    # correctness cross-check of the variants against the shipped kernel
+    # correctness cross-check against the shipped kernel
     from alink_tpu.ops.image import affine_warp_batch_pallas
     ref = affine_warp_batch_pallas(imgs, Ms, OUT)
-    for g, f in ((1, True), (8, False), (8, True), (16, True)):
-        got = warp_variant(imgs, Ms, OUT, group=g, fdiv=f)
-        err = float(jnp.max(jnp.abs(got - ref)))
-        print(json.dumps({"check": f"g{g}_fdiv{int(f)}", "max_err": err}),
-              flush=True)
+    got = warp_variant(imgs, Ms, OUT, fdiv="fdiv")
+    print(json.dumps({"check": "fdiv", "max_err":
+                      float(jnp.max(jnp.abs(got - ref)))}), flush=True)
 
-    timed("base_g1", lambda im, m: warp_variant(im, m, OUT), imgs, Ms)
-    timed("fdiv_g1", lambda im, m: warp_variant(im, m, OUT, fdiv=True),
+    timed("base_g1", lambda im, m: warp_variant(im, m, OUT, fdiv="base"),
           imgs, Ms)
-    timed("g8", lambda im, m: warp_variant(im, m, OUT, group=8), imgs, Ms)
-    timed("g8_fdiv", lambda im, m: warp_variant(im, m, OUT, group=8,
-                                                fdiv=True), imgs, Ms)
-    timed("g16_fdiv", lambda im, m: warp_variant(im, m, OUT, group=16,
-                                                 fdiv=True), imgs, Ms)
+    timed("fdiv_g1", lambda im, m: warp_variant(im, m, OUT, fdiv="fdiv"),
+          imgs, Ms)
+    timed("minimal_g1", lambda im, m: warp_variant(im, m, OUT,
+                                                   fdiv="minimal"),
+          imgs, Ms)
 
 
 if __name__ == "__main__":
