@@ -148,7 +148,7 @@ class ALinkLoop:
         adversarial_kwargs: dict | None = None,
         pair_builder: Callable = all_pairs_index,  # -> (pool, li, ri, y)
         metrics=None,
-        device_batch: int = 1024,
+        device_batch: int | None = None,
         pool_uint8: bool = False,
         key: jax.Array | None = None,
     ):
@@ -156,7 +156,9 @@ class ALinkLoop:
         self.metrics = metrics  # optional utils.metrics.MetricsLogger
         # Pairs processed per device pass; bounds HBM regardless of the
         # all-pairs batch size (reference predict bs, siamese.py:131).
-        self.device_batch = device_batch
+        # None -> config.device_batch (see its tradeoff note in config.py).
+        self.device_batch = (device_batch if device_batch is not None
+                             else config.device_batch)
         self.config = config
         self.featurize = featurize
         self.student_featurize = (

@@ -68,6 +68,17 @@ class ALinkConfig:
     seed: int = 42  # reference seeds TF with 42 (ALINK.py:19)
     mesh_shape: tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
     dtype: str = "bfloat16"  # compute dtype for backbones
+    # Pairs per fused selection-chunk dispatch.  Measured tradeoff
+    # (BENCHMARKS.md "ResNet50 batch-size curve"): VGGFace-ResNet50's
+    # per-image throughput FALLS with batch (71.8 TF/s at image batch
+    # 128 vs 44.1 at 1024 — HBM working set), so a locally-attached
+    # host gets the best selection round from small chunks
+    # (device_batch=64 -> 128-image featurizer calls).  Through a
+    # high-latency link (e.g. a remote-device tunnel at ~35 ms/dispatch)
+    # the extra dispatches dominate and large chunks win — hence the
+    # conservative default.  Tune per deployment; bench_selection.py
+    # measures both modes.
+    device_batch: int = 1024
 
     def __post_init__(self):
         if not (0.0 <= self.split_ratio <= 1.0):  # ALINK.py:74

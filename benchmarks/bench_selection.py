@@ -40,13 +40,9 @@ def main():
     committee = Committee.from_param_list(head, members, noise)
     m2 = T.create_train_state(head, key, jnp.zeros((2, d)),
                               jnp.zeros((2, d)))
-    cfg = ALinkConfig(noise=noise, alink_bs=4, batch_send=10**9,
-                      num_ensemble_models=3)
-    loop = ALinkLoop(cfg, featurize=featurize, committee=committee,
-                     m2_state=m2, device_batch=512, pool_uint8=True, key=key)
-
     rng = np.random.default_rng(0)
-    # 4 persons x 4 images per group -> (16x16)*2 = 512 pairs = 1 chunk.
+    # 4 persons x 4 images per group -> (16x16)*2 = 512 pairs = 1 chunk
+    # at device_batch 512.
     plain = PersonStacks(
         rng.uniform(0, 255, (4, 4, 224, 224, 3)).astype(np.float32),
         np.full(4, 4, np.int32))
@@ -54,22 +50,32 @@ def main():
         rng.uniform(0, 255, (4, 4, 224, 224, 3)).astype(np.float32),
         np.full(4, 4, np.int32))
 
-    loop.run_iteration(plain, dig)  # compile + warm-up
-    loop.timings.totals.clear()
-    loop.timings.counts.clear()
-    t0 = time.perf_counter()
-    log = loop.run_iteration(plain, dig)
-    wall = time.perf_counter() - t0
-    out = {
-        "pairs": log.pairs,
-        "noise_channels": len(noise),
-        "committee_members": 3,
-        "round_seconds": round(wall, 3),
-        "pairs_per_second": round(log.pairs / wall, 1),
-        "phases_ms": {k: round(v * 1e3, 1)
-                      for k, v in loop.timings.as_dict().items()},
-    }
-    print(json.dumps(out))
+    # Both chunking modes (config.device_batch tradeoff): 512 pairs per
+    # dispatch (high-latency-link mode) vs 64 pairs (128-image
+    # featurizer calls — the measured ResNet50 sweet spot on
+    # locally-attached hosts, BENCHMARKS.md "ResNet50 batch-size curve").
+    for db in (512, 64):
+        cfg = ALinkConfig(noise=noise, alink_bs=4, batch_send=10**9,
+                          num_ensemble_models=3, device_batch=db)
+        loop = ALinkLoop(cfg, featurize=featurize, committee=committee,
+                         m2_state=m2, pool_uint8=True, key=key)
+        loop.run_iteration(plain, dig)  # compile + warm-up
+        loop.timings.totals.clear()
+        loop.timings.counts.clear()
+        t0 = time.perf_counter()
+        log = loop.run_iteration(plain, dig)
+        wall = time.perf_counter() - t0
+        out = {
+            "device_batch": db,
+            "pairs": log.pairs,
+            "noise_channels": len(noise),
+            "committee_members": 3,
+            "round_seconds": round(wall, 3),
+            "pairs_per_second": round(log.pairs / wall, 1),
+            "phases_ms": {k: round(v * 1e3, 1)
+                          for k, v in loop.timings.as_dict().items()},
+        }
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

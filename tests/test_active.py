@@ -370,3 +370,269 @@ class TestCommitteeRegressor:
         idx = cr.query(l, r, n_instances=2)
         want = np.argsort(np.asarray(std))[-2:]
         assert set(idx.tolist()) == set(want.tolist())
+
+
+class TestSelectionQuality:
+    """Algorithm-level acceptance: A-LINK selection beats random selection
+    at equal oracle budget.
+
+    The property the whole framework exists for — the reference's
+    evidence is the published ablation (utilities/create_figure_3.m:
+    A-LINK 88.72 overall GAR vs 87.05 without AL).  Here: a synthetic
+    DFW-shaped domain gap (all disguised images shifted along one shared
+    'disguise direction'), a teacher committee trained on both domains,
+    and a student trained on the plain domain only.  A-LINK must spend
+    its oracle budget on the pairs the student gets wrong and fix it;
+    random selection at the same budget must fix it less.
+    """
+
+    SIZE = 4          # 4x4x3 images -> 48-d features
+    D = 48
+    P = 8             # persons
+    PER = 3           # images per person per domain
+
+    def _make_data(self, rng):
+        """Per-person disguise directions: a disguised image of person i
+        shifts 50px along a fixed random u_i.  To a raw-pixel verifier
+        that has not seen person i disguised, that |l - r| profile is
+        indistinguishable from an imposter's — the controllable domain
+        gap (the DFW disguise role, readDFW.py:87-94).  Also returns the
+        orthonormalised disguise subspace: the teacher's featurizer
+        projects it out, modelling the reference's pretrained backbone
+        whose embedding absorbs appearance variation (the M1 premise,
+        ALINK.py:28-30)."""
+        d = self.D
+        T_ = rng.normal(0.0, 1.0, (self.P, d))
+        T_ /= np.linalg.norm(T_, axis=1, keepdims=True)
+        U = rng.normal(0.0, 1.0, (self.P, d))
+        U /= np.linalg.norm(U, axis=1, keepdims=True)
+        Uo, _ = np.linalg.qr(U.T)  # (d, P) orthonormal disguise basis
+        # Disguise severity differs across the split: a student that
+        # learns a magnitude rule from the easy half fails on the hard
+        # half; the subspace-invariant teacher is immune to magnitude.
+        mag = np.where(np.arange(self.P) < self.P // 2, 30.0,
+                       60.0)[:, None, None]
+
+        def plain(n, seed):
+            r = np.random.default_rng(1000 + seed)
+            return np.clip(128 + 40 * T_[:, None, :] + 2 * r.normal(
+                0, 1, (self.P, n, d)), 0, 255).astype(np.float32)
+
+        def disguised(n, seed):
+            r = np.random.default_rng(2000 + seed)
+            return np.clip(128 + 40 * T_[:, None, :]
+                           + mag * U[:, None, :]
+                           + 2 * r.normal(0, 1, (self.P, n, d)),
+                           0, 255).astype(np.float32)
+        return plain, disguised, Uo
+
+    @staticmethod
+    def _pairs(a, b, same_person_genuine=True):
+        """All cross pairs of (P, n, d) stacks -> (left, right, y)."""
+        P, na, d = a.shape
+        nb = b.shape[1]
+        li, ri, ys = [], [], []
+        for i in range(P):
+            for j in range(P):
+                for s in range(na):
+                    for t in range(nb):
+                        li.append(a[i, s])
+                        ri.append(b[j, t])
+                        ys.append(1 if (i == j and same_person_genuine)
+                                  else 0)
+        return (np.stack(li), np.stack(ri),
+                np.asarray(ys, np.int32))
+
+    @staticmethod
+    def _train_head(seed, left, right, y, steps=150):
+        head = SiameseHead(widths=(32, 16), dtype=jnp.float32)
+        st = T.create_train_state(head, jax.random.PRNGKey(seed),
+                                  jnp.asarray(left[:2]),
+                                  jnp.asarray(right[:2]))
+        l, r, yy = (jnp.asarray(left), jnp.asarray(right), jnp.asarray(y))
+        k = jax.random.PRNGKey(seed + 100)
+        step = jax.jit(T.train_step)
+        for _ in range(steps):
+            k, sk = jax.random.split(k)
+            st, loss, acc = step(st, l, r, yy, sk)
+        return head, st
+
+    @staticmethod
+    def _accuracy(state, left, right, y):
+        logits = state.logits_fn(state.params, jnp.asarray(left),
+                                 jnp.asarray(right))
+        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        return float((pred == y).mean())
+
+    def test_alink_beats_random_at_equal_budget(self):
+        rng = np.random.default_rng(42)
+        plain, disguised, Uo = self._make_data(rng)
+        d = self.D
+        Uo_j = jnp.asarray(Uo, jnp.float32)
+
+        def phi(imgs):
+            """Teacher featurizer: disguise-invariant embedding (the
+            pretrained-backbone role, ALINK.py:28-30)."""
+            x = imgs.reshape(imgs.shape[0], -1)
+            return x - (x @ Uo_j) @ Uo_j.T
+
+        def phi_np(x):
+            return np.asarray(phi(jnp.asarray(x)))
+
+        # Teacher committee: trained on plain pairs over phi features —
+        # disguise-invariant by construction, so it generalises to every
+        # person's disguised images.
+        tp_ = plain(6, seed=1)
+        tl, tr, ty = self._pairs(tp_, tp_)
+        head, m1a = self._train_head(0, phi_np(tl), phi_np(tr), ty,
+                                     steps=400)
+        _, m1b = self._train_head(1, phi_np(tl), phi_np(tr), ty,
+                                  steps=400)
+
+        # Student: raw pixels; all plain pairs, but disguised data only
+        # for persons 0..3 -> blind on persons 4..7's disguise patterns.
+        # Distractor imposters (images of unrelated identities, the
+        # open-set part of any verification train set) teach the student
+        # that unfamiliar large difference patterns mean imposter — so
+        # its blindness on unseen disguises is a stable property of the
+        # construction, not of one RNG draw.
+        K = self.P // 2
+        sp, sd = plain(3, seed=2), disguised(3, seed=2)
+        R = rng.normal(0, 1, (20, d))
+        R /= np.linalg.norm(R, axis=1, keepdims=True)
+        distr = np.clip(128 + 40 * R[:, None, :]
+                        + 2 * rng.normal(0, 1, (20, 2, d)),
+                        0, 255).astype(np.float32)
+        flat_sp = sp.reshape(-1, d)
+        flat_di = distr.reshape(-1, d)
+        r2 = np.random.default_rng(5)
+        dl, dr = [], []
+        for a in range(len(flat_sp)):
+            for bq in r2.choice(len(flat_di), 4, replace=False):
+                dl.append(flat_sp[a])
+                dr.append(flat_di[bq])
+        parts = [self._pairs(sp, sp), self._pairs(sp[:K], sd[:K]),
+                 self._pairs(sd[:K], sd[:K]),
+                 (np.stack(dl), np.stack(dr),
+                  np.zeros(len(dl), np.int32))]
+        sl = np.concatenate([q[0] for q in parts])
+        sr = np.concatenate([q[1] for q in parts])
+        sy = np.concatenate([q[2] for q in parts])
+        _, m2 = self._train_head(2, sl.reshape(len(sl), -1),
+                                 sr.reshape(len(sr), -1), sy, steps=300)
+
+        # Held-out eval set: the hard half's disguised pairs.
+        ep, ed = plain(4, seed=3), disguised(4, seed=3)
+        el, er, ey = self._pairs(ep[K:], ed[K:])
+        base_acc = self._accuracy(m2, el, er, ey)
+        genuine = ey == 1
+        base_genuine = float((np.asarray(jnp.argmax(m2.logits_fn(
+            m2.params, jnp.asarray(el[genuine]), jnp.asarray(er[genuine])),
+            axis=-1)) == 1).mean())
+        assert base_genuine < 0.6, (
+            f"setup: student should start blind, got {base_genuine}")
+        # ... and the teacher must actually know the hard half.
+        t_acc = self._accuracy(m1a, phi_np(el), phi_np(er), ey)
+        assert t_acc > 0.85, f"setup: teacher too weak ({t_acc})"
+
+        com = Committee.from_param_list(head, [m1a.params, m1b.params],
+                                        noise_names=("gaussian",))
+        size = self.SIZE
+        cfg = ALinkConfig(
+            noise=("gaussian",),
+            image_res=(size, size),
+            feature_res=d,
+            alink_bs=4,
+            batch_send=8,
+            ft_epochs=4,
+            mixture_ratio=1,
+            # Tight oracle budget: ~10% of each slab's most disparate
+            # pairs — the regime where selection quality matters (at
+            # large budgets random labeling covers the pool too).
+            disparity_ratio=0.12,
+            eps=0.05,
+        )
+
+        def replay():
+            r2 = np.random.default_rng(7)
+            pp = plain(2, seed=4)
+            while True:
+                l, r, y = self._pairs(pp, pp)
+                idx = r2.permutation(len(y))[:16]
+                # Student input space = flattened pixels.
+                yield (l[idx], r[idx]), y[idx]
+
+        loop = ALinkLoop(cfg, featurize=phi, committee=com,
+                         m2_state=m2, student_featurize=_identity_featurize,
+                         replay_gen=replay(),
+                         key=jax.random.PRNGKey(9))
+        lp = plain(self.PER, seed=5).reshape(self.P, self.PER, size, size, 3)
+        ld = disguised(self.PER, seed=5).reshape(self.P, self.PER, size, size, 3)
+        plain_part = PersonStacks(lp, np.full(self.P, self.PER, np.int32))
+        dig_part = PersonStacks(ld, np.full(self.P, self.PER, np.int32))
+        loop.run(plain_part, dig_part)
+        alink_state = loop.state.m2_state
+        budget = sum(log.queried for log in loop.logs)
+        assert budget > 0, "A-LINK queried nothing — setup broken"
+
+        alink_acc = self._accuracy(alink_state, el, er, ey)
+
+        # Random baseline: same initial student, same oracle budget of
+        # labeled pairs drawn uniformly from the same pool, same number
+        # of gradient passes and the same replay mixture.
+        from alink_tpu.data.pairs import all_pairs_index
+        flat, li, ri, y_all = all_pairs_index(plain_part, dig_part)
+        r3 = np.random.default_rng(11)
+        pick = r3.choice(len(y_all), size=budget, replace=False)
+        rl = flat[li[pick]].reshape(budget, -1)
+        rr = flat[ri[pick]].reshape(budget, -1)
+        ry = y_all[pick]
+        rep = replay()
+        mixed_l, mixed_r, mixed_y = [rl], [rr], [ry]
+        for _ in range(cfg.mixture_ratio):
+            (ml, mr), my = next(rep)
+            mixed_l.append(ml.reshape(len(my), -1))
+            mixed_r.append(mr.reshape(len(my), -1))
+            mixed_y.append(my)
+        rl = np.concatenate(mixed_l)
+        rr = np.concatenate(mixed_r)
+        ry = np.concatenate(mixed_y)
+        rand_state = m2
+        n_ft = max(1, sum(1 for log in loop.logs if log.finetuned))
+        for it in range(n_ft):
+            rand_state, _ = T.fit(
+                rand_state, jnp.asarray(rl), jnp.asarray(rr),
+                jnp.asarray(ry), epochs=cfg.ft_epochs, batch_size=32,
+                key=jax.random.PRNGKey(20 + it))
+        rand_acc = self._accuracy(rand_state, el, er, ey)
+
+        # The acceptance assertions.  The oracle budget buys labels; at
+        # a tight budget A-LINK spends them on the pairs the student
+        # disagrees with its confident teacher on — which here are the
+        # hard half's genuine disguised pairs.  So the quality gap
+        # concentrates exactly there, while overall accuracy must not
+        # regress relative to random selection.
+        def genuine_acc(state):
+            return self._accuracy(state, el[genuine], er[genuine],
+                                  ey[genuine])
+
+        def balanced_acc(state):
+            g = genuine_acc(state)
+            i = self._accuracy(state, el[~genuine], er[~genuine],
+                               ey[~genuine])
+            return (g + i) / 2.0
+
+        alink_gen = genuine_acc(alink_state)
+        rand_gen = genuine_acc(rand_state)
+        alink_bal = balanced_acc(alink_state)
+        rand_bal = balanced_acc(rand_state)
+        base_bal = balanced_acc(m2)
+        msg = (f"base gen={base_genuine:.3f} bal={base_bal:.3f} | "
+               f"A-LINK gen={alink_gen:.3f} bal={alink_bal:.3f} | "
+               f"random gen={rand_gen:.3f} bal={rand_bal:.3f} "
+               f"(budget {budget})")
+        # Balanced accuracy, not raw: the blind student scores the
+        # imposter base rate by rejecting everything.
+        assert alink_bal > base_bal, msg
+        assert alink_gen >= rand_gen + 0.08, msg
+        assert alink_bal >= rand_bal - 0.02, msg
