@@ -55,7 +55,20 @@ from alink_tpu.ops.umeyama import arcface_template, umeyama
 
 @dataclasses.dataclass(frozen=True)
 class CascadeConfig:
-    """Cascade knobs (reference ctor defaults, mtcnn_detector.py:20-50)."""
+    """Cascade knobs (reference ctor defaults, mtcnn_detector.py:20-50).
+
+    The reference has no candidate caps (dynamic shapes); here every
+    stage carries a fixed budget and keeps its top-scoring candidates —
+    identical results whenever the budget covers the candidate count,
+    lowest-scoring surplus dropped otherwise.  Crop/tower/NMS cost
+    scales with the budgets (measured: halving stage1/stage2 budgets
+    saves 2.5/2.8 ms per 64 images, BENCHMARKS.md), so pick a profile
+    for the workload: ``typical()`` for portrait-style imagery with a
+    handful of faces (stage-1 NMS on such images leaves tens of
+    candidates — see the MTCNN paper's FDDB/WIDER statistics; sized with
+    ~3x headroom over that), ``worst_case()`` to keep the round-1
+    lossless budgets for dense crowd scenes.
+    """
 
     min_size: int = 20          # minsize (mtcnn_detector.py:337)
     factor: float = 0.709       # pyramid factor (:347)
@@ -66,6 +79,23 @@ class CascadeConfig:
     stage3_budget: int = 64
     accurate_landmark: bool = False  # L-Net refine (mtcnn_detector.py:478)
     output_size: tuple[int, int] = (112, 112)
+
+    @staticmethod
+    def typical(**overrides) -> "CascadeConfig":
+        """Budgets profiled for few-face imagery (the DFW/MTP use case:
+        one pre-cropped face per image)."""
+        kw = dict(stage1_scale_budget=32, stage1_budget=32,
+                  stage2_budget=16, stage3_budget=8)
+        kw.update(overrides)
+        return CascadeConfig(**kw)
+
+    @staticmethod
+    def worst_case(**overrides) -> "CascadeConfig":
+        """Lossless budgets for dense scenes (many faces per image)."""
+        kw = dict(stage1_scale_budget=128, stage1_budget=256,
+                  stage2_budget=128, stage3_budget=64)
+        kw.update(overrides)
+        return CascadeConfig(**kw)
 
 
 class MTCNNParams(NamedTuple):

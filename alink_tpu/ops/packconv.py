@@ -1,11 +1,19 @@
-"""Output-packed convolution for tiny-channel towers (MTCNN P/R/O-Net).
+"""Output-packed convolution (built; MEASURED NOT PROFITABLE on v5e).
 
-Why: XLA's conv emitter maps a VALID 3x3 conv with Cin=3..48 and
-Cout=10..64 onto MXU matmuls of K = kh*kw*Cin and N = Cout — for P-Net's
-conv1 that is K=27, N=10, i.e. 1.6% of a 128x128 MXU pass.  Measured on
-v5e: the whole P-Net pyramid runs at ~2.2 TF/s and O-Net at ~29 TF/s
-(benchmarks/bench_cascade_ablate.py), making the cascade towers the
-dominant non-embed pipeline cost (BENCHMARKS.md "Known headroom").
+Verdict from benchmarks/bench_packconv.py (2026-08-17): XLA's conv
+emitter already runs the cascade-tower shapes at ~30-50 TF/s (R-Net
+conv1 0.118 ms for the 8192-crop batch; O-Net conv1 0.508 ms) — the MXU
+K/N-padding argument below does NOT translate into wall-clock, while
+this packing's patch assembly ((p+2)^2 strided slices concatenated on a
+3-48 deep channel axis) is lane-relayout-bound and loses 10-40x
+(e.g. rnet1: 5.2 ms packed vs 0.118 plain).  The towers' real cost is
+the bandwidth-bound glue at partial lane tiles — addressed by the
+crop-grouped towers (models/mtcnn.py groups) instead.  Kept as a
+standalone documented op; not integrated anywhere.
+
+Original hypothesis: a VALID 3x3 conv with Cin=3..48 and Cout=10..64
+maps onto MXU matmuls of K = kh*kw*Cin and N = Cout — for P-Net's conv1
+that is K=27, N=10, i.e. 1.6% of a 128x128 MXU pass.
 
 The packing: compute a p x p block of output pixels per matmul row.
 Each block reads a (p+kh-1) x (p+kw-1) input patch, so the matmul
