@@ -83,8 +83,11 @@ class CascadeConfig:
     @staticmethod
     def typical(**overrides) -> "CascadeConfig":
         """Budgets profiled for few-face imagery (the DFW/MTP use case:
-        one pre-cropped face per image)."""
-        kw = dict(stage1_scale_budget=32, stage1_budget=32,
+        one pre-cropped face per image, filling >=25% of the frame —
+        hence min_size 40: the reference's 20 would spend over half the
+        pyramid searching for faces smaller than the workload ever
+        contains)."""
+        kw = dict(min_size=40, stage1_scale_budget=32, stage1_budget=32,
                   stage2_budget=16, stage3_budget=8)
         kw.update(overrides)
         return CascadeConfig(**kw)

@@ -78,30 +78,38 @@ def main() -> None:
         stage_sizes=(1, 1, 1, 1))
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3), jnp.float32))
-    # Random weights with open thresholds: every budget slot does work,
-    # so the measured cascade cost is the budget's worst case.
-    cfg = CascadeConfig(thresholds=(0.0, 0.0, 0.0))
     cparams = init_cascade_params(jax.random.PRNGKey(1))
-    fm = FaceModel(eparams, cparams, cfg)
-    fm.embedder = embedder
-
     x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3),
                            jnp.float32, 0.0, 255.0)
-    sec_pipeline = _timed_chain(
-        lambda im: fm.pipeline(eparams, cparams, im), x, iters)
+
+    # Random weights with open thresholds: every budget slot does work,
+    # so each profile's measured cascade cost is that budget's worst
+    # case.  Headline = the workload-profiled budgets (CascadeConfig
+    # docstring); the round-1 lossless dense-scene budgets are reported
+    # alongside.
+    fps = {}
+    for name, cfg in (
+        ("typical", CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))),
+        ("worst_case", CascadeConfig.worst_case(thresholds=(0.0, 0.0, 0.0))),
+    ):
+        fm = FaceModel(eparams, cparams, cfg)
+        fm.embedder = embedder
+        sec = _timed_chain(
+            lambda im, f=fm: f.pipeline(eparams, cparams, im), x, iters)
+        fps[name] = batch / sec
 
     chips = jax.random.uniform(jax.random.PRNGKey(3),
                                (batch, 112, 112, 3), jnp.float32, 0.0, 255.0)
     sec_embed = _timed_chain(
         lambda im: embedder.apply(eparams, im), chips, iters + 10)
-
-    pipeline_fps = batch / sec_pipeline
     embed_fps = batch / sec_embed
+
     print(json.dumps({
         "metric": "detect_align_embed_throughput",
-        "value": round(pipeline_fps, 1),
+        "value": round(fps["typical"], 1),
         "unit": "faces/sec/chip",
-        "vs_baseline": round(pipeline_fps / NORTH_STAR_FACES_PER_SEC, 3),
+        "vs_baseline": round(fps["typical"] / NORTH_STAR_FACES_PER_SEC, 3),
+        "worst_case_budgets_faces_per_sec": round(fps["worst_case"], 1),
         "embed_only_faces_per_sec": round(embed_fps, 1),
         "batch": batch,
         "image_size": size,

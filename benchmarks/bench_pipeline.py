@@ -36,51 +36,53 @@ def main():
     batch = 256 if on_tpu else 2  # measured batch sweep: 64/128/256 =
     # 2471/2503/2542 faces/s (embed amortises better at larger batch)
     size = 160  # typical pre-crop face image
-    cfg = CascadeConfig(
-        thresholds=(0.0, 0.0, 0.0),  # random weights: keep budgets full so
-        stage1_scale_budget=64,      # the measured work is the worst case
-        stage1_budget=128,
-        stage2_budget=64,
-        stage3_budget=16,
-    )
     embedder = ArcFaceResNet100()
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3)))
     cparams = init_cascade_params(jax.random.PRNGKey(1))
-    fm = FaceModel(eparams, cparams, cfg)
-    fm.embedder = embedder
-
     x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3),
                            jnp.float32, 0.0, 255.0)
-
-    # Chain iterations inside one jit (scalar fold-back serialises them)
-    # and subtract the dispatch+fetch latency measured with n=0: the
-    # remote-device tunnel costs tens of ms per launch, which would
-    # otherwise dominate a per-call loop.
-    @jax.jit
-    def chain(imgs, n):
-        def body(i, carry):
-            im, acc = carry
-            feats = fm.pipeline(eparams, cparams, im)
-            return im + 0.0 * acc, acc + jnp.mean(feats)
-        return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0.0)))[1]
-
     iters = 20 if on_tpu else 1
-    sync(chain(x, 1))  # compile + warm-up
-    t0 = time.perf_counter()
-    sync(chain(x, 0))
-    overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync(chain(x, iters))
-    dt = max(time.perf_counter() - t0 - overhead, 1e-9)
-    faces_per_sec = batch * iters / dt
-    print(json.dumps({
-        "metric": "detect_align_embed_throughput",
-        "image_size": size,
-        "batch": batch,
-        "value": round(faces_per_sec, 1),
-        "unit": "faces/sec/chip",
-    }))
+
+    # Thresholds 0 with random weights keep every budget slot full, so
+    # each profile measures its own budget's worst case.
+    for name, cfg in (
+        ("typical", CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))),
+        ("worst_case",
+         CascadeConfig.worst_case(thresholds=(0.0, 0.0, 0.0))),
+    ):
+        fm = FaceModel(eparams, cparams, cfg)
+        fm.embedder = embedder
+
+        # Chain iterations inside one jit (scalar fold-back serialises
+        # them) and subtract the dispatch+fetch latency measured with
+        # n=0: the remote-device tunnel costs tens of ms per launch,
+        # which would otherwise dominate a per-call loop.
+        @jax.jit
+        def chain(imgs, n):
+            def body(i, carry):
+                im, acc = carry
+                feats = fm.pipeline(eparams, cparams, im)
+                return im + 0.0 * acc, acc + jnp.mean(feats)
+            return jax.lax.fori_loop(0, n, body,
+                                     (imgs, jnp.float32(0.0)))[1]
+
+        sync(chain(x, 1))  # compile + warm-up
+        t0 = time.perf_counter()
+        sync(chain(x, 0))
+        overhead = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(chain(x, iters))
+        dt = max(time.perf_counter() - t0 - overhead, 1e-9)
+        faces_per_sec = batch * iters / dt
+        print(json.dumps({
+            "metric": "detect_align_embed_throughput",
+            "profile": name,
+            "image_size": size,
+            "batch": batch,
+            "value": round(faces_per_sec, 1),
+            "unit": "faces/sec/chip",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,28 @@ def test_nms_deep_suppression_chain():
     assert sorted(np.where(keep)[0].tolist()) == expected
 
 
+@pytest.mark.parametrize("mode", ["union", "min"])
+@pytest.mark.parametrize("seed", [3, 4])
+def test_nms_blocked_multiblock_dense(mode, seed):
+    """K far above the 32-candidate block size with heavily overlapping
+    boxes — stresses the blocked scan's cross-block prefix suppression
+    and the in-block fixed point together."""
+    rng = np.random.default_rng(seed)
+    k = 224
+    xy = rng.uniform(0, 60, size=(k, 2))          # dense: lots of overlap
+    wh = rng.uniform(10, 50, size=(k, 2))
+    b = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    s = rng.uniform(0, 1, size=k).astype(np.float32)
+    valid = rng.random(k) > 0.1
+    keep = np.asarray(nmsops.nms(jnp.asarray(b), jnp.asarray(s),
+                                 jnp.asarray(valid), 0.6, mode=mode))
+    expected = _greedy_nms_reference(b[valid], s[valid], 0.6, mode)
+    vidx = np.where(valid)[0]
+    assert sorted(np.where(keep)[0].tolist()) == sorted(
+        vidx[expected].tolist())
+    assert not keep[~valid].any()
+
+
 def test_nms_respects_validity_mask():
     b = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
     s = jnp.array([0.9, 0.8])
