@@ -156,9 +156,10 @@ class ALinkLoop:
         self.metrics = metrics  # optional utils.metrics.MetricsLogger
         # Pairs processed per device pass; bounds HBM regardless of the
         # all-pairs batch size (reference predict bs, siamese.py:131).
-        # None -> config.device_batch (see its tradeoff note in config.py).
+        # None -> config.device_batch (see its tradeoff note in config.py);
+        # getattr so externally defined config dataclasses keep working.
         self.device_batch = (device_batch if device_batch is not None
-                             else config.device_batch)
+                             else getattr(config, "device_batch", 1024))
         self.config = config
         self.featurize = featurize
         self.student_featurize = (

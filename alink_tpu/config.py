@@ -155,6 +155,7 @@ class MTPConfig:
     seed: int = 42
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
+    device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
 
     def __post_init__(self):
         if self.low_res > self.normal_res[0]:  # ALINK_MTP.py:32

@@ -88,7 +88,7 @@ class CascadeConfig:
         pyramid searching for faces smaller than the workload ever
         contains)."""
         kw = dict(min_size=40, stage1_scale_budget=32, stage1_budget=32,
-                  stage2_budget=16, stage3_budget=8)
+                  stage2_budget=8, stage3_budget=4)
         kw.update(overrides)
         return CascadeConfig(**kw)
 

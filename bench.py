@@ -83,20 +83,18 @@ def main() -> None:
                            jnp.float32, 0.0, 255.0)
 
     # Random weights with open thresholds: every budget slot does work,
-    # so each profile's measured cascade cost is that budget's worst
-    # case.  Headline = the workload-profiled budgets (CascadeConfig
-    # docstring); the round-1 lossless dense-scene budgets are reported
-    # alongside.
-    fps = {}
-    for name, cfg in (
-        ("typical", CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))),
-        ("worst_case", CascadeConfig.worst_case(thresholds=(0.0, 0.0, 0.0))),
-    ):
-        fm = FaceModel(eparams, cparams, cfg)
-        fm.embedder = embedder
-        sec = _timed_chain(
-            lambda im, f=fm: f.pipeline(eparams, cparams, im), x, iters)
-        fps[name] = batch / sec
+    # so the measured cascade cost is the profile's worst case.
+    # Headline = the workload-profiled budgets (CascadeConfig docstring);
+    # the dense-scene worst_case() profile is benchmarked separately in
+    # benchmarks/bench_pipeline.py (measured 1,572 faces/s, BENCHMARKS.md)
+    # — compiling its much larger program here would push this benchmark
+    # past the driver's time budget on a cold compile cache.
+    cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
+    fm = FaceModel(eparams, cparams, cfg)
+    fm.embedder = embedder
+    sec_pipeline = _timed_chain(
+        lambda im: fm.pipeline(eparams, cparams, im), x, iters)
+    pipeline_fps = batch / sec_pipeline
 
     chips = jax.random.uniform(jax.random.PRNGKey(3),
                                (batch, 112, 112, 3), jnp.float32, 0.0, 255.0)
@@ -106,10 +104,9 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "detect_align_embed_throughput",
-        "value": round(fps["typical"], 1),
+        "value": round(pipeline_fps, 1),
         "unit": "faces/sec/chip",
-        "vs_baseline": round(fps["typical"] / NORTH_STAR_FACES_PER_SEC, 3),
-        "worst_case_budgets_faces_per_sec": round(fps["worst_case"], 1),
+        "vs_baseline": round(pipeline_fps / NORTH_STAR_FACES_PER_SEC, 3),
         "embed_only_faces_per_sec": round(embed_fps, 1),
         "batch": batch,
         "image_size": size,
