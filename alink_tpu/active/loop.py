@@ -55,6 +55,7 @@ class ALinkState:
     active_count: int = 0
     un_size: int = 0
     pool_cursor: int = 0  # person index into the unlabeled pool
+    replay_draws: int = 0  # batches consumed from replay_gen (for resume)
     buffer_left: np.ndarray | None = None
     buffer_right: np.ndarray | None = None
     buffer_y: np.ndarray | None = None
@@ -473,6 +474,7 @@ class ALinkLoop:
         if self.replay_gen is not None:
             for _ in range(cfg.mixture_ratio):
                 (rl, rr), ry = next(self.replay_gen)
+                self.state.replay_draws += 1
                 parts_l.append(np.asarray(rl))
                 parts_r.append(np.asarray(rr))
                 parts_y.append(np.asarray(ry).reshape(-1))
@@ -512,8 +514,12 @@ class ALinkLoop:
                   {"params": s.m2_state.params,
                    "opt_state": s.m2_state.opt_state})
         loop_tree = {
-            "counters": np.array([s.active_count, s.un_size, s.pool_cursor],
-                                 np.int64),
+            "counters": np.array([s.active_count, s.un_size, s.pool_cursor,
+                                  s.replay_draws], np.int64),
+            # RNG state: restoring it makes a resumed run reproduce the
+            # uninterrupted trajectory exactly (noise draws, augmentation,
+            # dropout keys all derive from self.key).
+            "key": np.asarray(self.key),
         }
         if s.buffer_size():
             loop_tree["buffer_left"] = s.buffer_left
@@ -541,6 +547,16 @@ class ALinkLoop:
         s.active_count = int(counters[0])
         s.un_size = int(counters[1])
         s.pool_cursor = int(counters[2])
+        if "key" in loop_tree:
+            self.key = jnp.asarray(loop_tree["key"])
+        if counters.shape[0] > 3 and self.replay_gen is not None:
+            # Fast-forward a (deterministic) replay generator to the
+            # position the interrupted run had consumed — without this a
+            # resumed run fine-tunes on different replay batches and the
+            # trajectory silently diverges from the uninterrupted one.
+            s.replay_draws = int(counters[3])
+            for _ in range(s.replay_draws):
+                next(self.replay_gen)
         if "buffer_y" in loop_tree:
             s.buffer_left = np.asarray(loop_tree["buffer_left"])
             s.buffer_right = np.asarray(loop_tree["buffer_right"])
@@ -555,17 +571,38 @@ class ALinkLoop:
         self,
         plain_raw: PersonStacks,
         dig_post: PersonStacks,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 1,
     ) -> ALinkState:
-        """The framework loop over the unlabeled pool (ALINK.py:145-259)."""
+        """The framework loop over the unlabeled pool (ALINK.py:145-259).
+
+        Failure recovery (SURVEY.md section 5.3 — the reference loses ALL
+        selection state on interruption, ALINK.py:135-143): pass
+        ``checkpoint_path`` to resume automatically from the last saved
+        iteration and checkpoint every ``checkpoint_every`` iterations.
+        The checkpoint includes the RNG key, so a resumed run reproduces
+        the uninterrupted trajectory exactly.
+        """
         cfg = self.config
+        if checkpoint_path:
+            if self.restore(checkpoint_path):
+                # pool_cursor, counters, buffers and key are back; the
+                # while-loop below continues from the saved slab.
+                pass
         p = dig_post.num_people
+        iters = 0
         while self.state.pool_cursor < p:
             ii = self.state.pool_cursor
             sl = list(range(ii, min(ii + cfg.alink_bs, p)))
             self.run_iteration(plain_raw.take_people(sl),
                                dig_post.take_people(sl))
             self.state.pool_cursor = ii + cfg.alink_bs
+            iters += 1
+            if checkpoint_path and iters % max(1, checkpoint_every) == 0:
+                self.save(checkpoint_path)
             if int(cfg.active_ratio * self.state.un_size) <= \
                     self.state.active_count:  # ALINK.py:257-259
                 break
+        if checkpoint_path:
+            self.save(checkpoint_path)
         return self.state

@@ -68,6 +68,12 @@ class ALinkConfig:
     seed: int = 42  # reference seeds TF with 42 (ALINK.py:19)
     mesh_shape: tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
     dtype: str = "bfloat16"  # compute dtype for backbones
+    # Mid-loop fault tolerance (SURVEY.md section 5.3; the reference
+    # loses all selection state on interruption, ALINK.py:135-143):
+    # when set, the loop auto-resumes from this path and checkpoints
+    # every checkpoint_every iterations (RNG-exact resume).
+    loop_checkpoint: str = ""
+    checkpoint_every: int = 1
     # Pairs per fused selection-chunk dispatch.  Measured tradeoff
     # (BENCHMARKS.md "ResNet50 batch-size curve"): VGGFace-ResNet50's
     # per-image throughput FALLS with batch (71.8 TF/s at image batch
@@ -156,6 +162,8 @@ class MTPConfig:
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
     device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
+    loop_checkpoint: str = ""  # see ALinkConfig.loop_checkpoint
+    checkpoint_every: int = 1
 
     def __post_init__(self):
         if self.low_res > self.normal_res[0]:  # ALINK_MTP.py:32

@@ -124,7 +124,9 @@ def run_alink(
         adversarial_predict=adv,
         key=next(keys),
     )
-    state = loop.run(data.plain_raw, dig_post_raw)
+    state = loop.run(data.plain_raw, dig_post_raw,
+                     checkpoint_path=config.loop_checkpoint or None,
+                     checkpoint_every=config.checkpoint_every)
     print(f">> Active Count: {state.active_count} out of {state.un_size}")
     T.save(config.out_model, state.m2_state.params)
     return state

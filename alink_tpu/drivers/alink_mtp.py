@@ -145,7 +145,9 @@ def run_alink_mtp(
         pair_builder=lambda plain, _dig: mtp_all_pairs_index(plain),
         key=next(keys),
     )
-    state = loop.run(hi_post, hi_post)
+    state = loop.run(hi_post, hi_post,
+                     checkpoint_path=config.loop_checkpoint or None,
+                     checkpoint_every=config.checkpoint_every)
     T.save(config.out_model, state.m2_state.params)
 
     # Gallery top-1 identification tail (ALINK_MTP.py:271-289).

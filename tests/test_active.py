@@ -288,6 +288,42 @@ class TestLoopCheckpoint:
         loop, _, _ = helper._setup()
         assert not loop.restore(str(tmp_path / "nope"))
 
+    def test_interrupted_run_resumes_to_identical_trajectory(self,
+                                                             tmp_path):
+        """SURVEY.md section 5.3: kill-and-resume must reproduce the
+        uninterrupted run exactly — counters, logs and M2 params — which
+        requires the RNG key to round-trip through the checkpoint."""
+        helper = TestALinkLoop()
+        path = str(tmp_path / "auto_ck")
+
+        # Ground truth: uninterrupted run with checkpointing on.
+        loop_a, plain, dig = helper._setup()
+        state_a = loop_a.run(plain, dig, checkpoint_path=str(
+            tmp_path / "gt_ck"))
+
+        # Interrupted run: same inputs, crash after the first iteration
+        # (simulated by running one slab with checkpointing, then
+        # discarding the loop object entirely).
+        loop_b, _, _ = helper._setup()
+        cfg = loop_b.config
+        loop_b.run_iteration(plain.take_people([0, 1]),
+                             dig.take_people([0, 1]))
+        loop_b.state.pool_cursor = cfg.alink_bs
+        loop_b.save(path)
+        del loop_b
+
+        # Fresh process: run() auto-restores and finishes the pool.
+        loop_c, _, _ = helper._setup()
+        state_c = loop_c.run(plain, dig, checkpoint_path=path)
+
+        assert state_c.active_count == state_a.active_count
+        assert state_c.un_size == state_a.un_size
+        assert state_c.pool_cursor == state_a.pool_cursor
+        for a, c in zip(jax.tree.leaves(state_a.m2_state.params),
+                        jax.tree.leaves(state_c.m2_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-6)
+
 
 class TestFGSMChannel:
     def test_fgsm_in_noise_bank(self):
