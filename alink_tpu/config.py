@@ -68,6 +68,10 @@ class ALinkConfig:
     seed: int = 42  # reference seeds TF with 42 (ALINK.py:19)
     mesh_shape: tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
     dtype: str = "bfloat16"  # compute dtype for backbones
+    # Demo mode: > 0 generates a synthetic DFW-protocol tree with this
+    # many people (data/synth.py) and runs the complete system against
+    # it — no dataset download needed to exercise every code path.
+    synthetic_people: int = 0
     # Mid-loop fault tolerance (SURVEY.md section 5.3; the reference
     # loses all selection state on interruption, ALINK.py:135-143):
     # when set, the loop auto-resumes from this path and checkpoints

@@ -81,6 +81,23 @@ def run_alink(
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     keys = iter(jax.random.split(key, 16))
 
+    if config.synthetic_people:
+        # Demo mode: fabricate a DFW-protocol tree and point the run at
+        # it (every downstream path — scan, decode, featurize, loop,
+        # eval — is the production one).
+        import tempfile
+
+        from alink_tpu.data import make_synthetic_dfw
+
+        root = tempfile.mkdtemp(prefix="alink_synth_")
+        make_synthetic_dfw(root, num_people=config.synthetic_people,
+                           image_size=config.image_res[0],
+                           train_folder=config.train_images_dir,
+                           seed=config.seed)
+        config = dataclasses.replace(config, data_dir_prefix=root)
+        print(f"synthetic DFW tree: {root} "
+              f"({config.synthetic_people} people)")
+
     if featurize is None:
         featurize, _ = common.make_resnet50_featurizer(next(keys))
 

@@ -10,6 +10,8 @@ and the Multi-PIE staging scripts (``process.py``, ``bisect_into_paths.py``,
 reference's file contract (npy/txt artifacts chained between steps) while
 the compute inside is the batched/fused framework path:
 
+- ``evaluate``             — the WHOLE chain in one command (features ->
+  matrix -> masked ROC -> stats), no intermediate files required.
 - ``generate_predictions`` — batch-featurize the test list (the reference
   loops images one at a time through ``process([img])``).
 - ``generate_matrix``      — the all-pairs score matrix in one fused pass

@@ -89,6 +89,26 @@ class TestALinkDriver:
         assert os.path.isdir(cfg.disguised_basemodel)
         assert os.path.isdir(f"{cfg.ensemble_basepath}1")
 
+    def test_synthetic_demo_mode(self, tmp_path):
+        """--synthetic_people fabricates the dataset and runs everything
+        (no DFW download needed to exercise the complete system)."""
+        cfg = parse_config(
+            [],
+            synthetic_people=3,
+            out_model=os.path.join(str(tmp_path), "post"),
+            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
+            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
+            noise=("gaussian",),
+            image_res=(SIZE, SIZE),
+            feature_res=FDIM,
+            dig_epochs=1, undig_epochs=1, ft_epochs=1,
+            alink_bs=2, batch_send=4, batch_size=8,
+            active_ratio=0.0,  # stop after one slab
+        )
+        state = run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+        assert state.un_size > 0
+        assert os.path.isdir(cfg.out_model)
+
     def test_reload_skips_training(self, dfw_root, tmp_path):
         """Second run must load the staged models (maybeLoadFromMemory)."""
         kwargs = dict(

@@ -205,3 +205,59 @@ class TestWeightConversion:
                                        b"dense_1/bias:0"]
         with pytest.raises(ValueError):
             siamese_h5_to_params(path)
+
+
+class TestEvaluateOneShot:
+    def test_full_chain_matches_piecewise(self, tmp_path, capsys):
+        """tools/evaluate must reproduce the 4-step reference chain's
+        numbers exactly from the same features/mask."""
+        from alink_tpu.tools import evaluate
+
+        n, dim = 20, 16
+        rng = np.random.default_rng(3)
+        feats = rng.normal(size=(n, dim)).astype(np.float32)
+        np.save(tmp_path / "feats.npy", feats)
+        head = SiameseHead()
+        params = head.init(jax.random.PRNGKey(1),
+                           np.zeros((1, dim), np.float32),
+                           np.zeros((1, dim), np.float32))
+        T.save(str(tmp_path / "ckpt"), params)
+        mask = np.zeros((n, n), int)
+        iu = np.triu_indices(n, 1)
+        mask[iu] = rng.integers(1, 5, len(iu[0]))
+        np.savetxt(tmp_path / "mask.txt", mask, fmt="%d")
+
+        evaluate.main([
+            "--model_ckpt", str(tmp_path / "ckpt"),
+            "--mask", str(tmp_path / "mask.txt"),
+            "--features", str(tmp_path / "feats.npy"),
+            "--roc_case", "0",
+            "--save_matrix", str(tmp_path / "scores.npy"),
+            "--save_tprfpr", str(tmp_path / "tprfpr.txt"),
+        ])
+        out = capsys.readouterr().out
+        import json as _json
+        jsons = [_json.loads(line) for line in out.splitlines()
+                 if line.startswith("{")]
+        assert [j["case"] for j in jsons] == [
+            "impersonation", "obfuscation", "overall"]
+
+        # Cross-check against the piecewise tools on the saved matrix.
+        from alink_tpu.evaluation import roc_stats
+        tprfpr = str(tmp_path / "piece.txt")
+        roc_precompute.main([
+            str(tmp_path / "scores.npy"), tprfpr, "3",
+            "--mask", str(tmp_path / "mask.txt"),
+        ])
+        tpr, fpr = np.loadtxt(tprfpr)
+        want = roc_stats(tpr, fpr)
+        got = jsons[2]
+        np.testing.assert_allclose(got["auc"], want.auc, atol=1e-6)
+        np.testing.assert_allclose(got["eer"], want.eer, atol=1e-6)
+        # Per-case tprfpr files were suffixed.
+        assert (tmp_path / "tprfpr_overall.txt").exists()
+
+    def test_requires_exactly_one_source(self, tmp_path):
+        from alink_tpu.tools import evaluate
+        with pytest.raises(SystemExit):
+            evaluate.main(["--model_ckpt", "x", "--mask", "y"])
