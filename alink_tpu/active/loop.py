@@ -182,6 +182,7 @@ class ALinkLoop:
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
         self.state = ALinkState(m2_state=m2_state)
         self._chunk_jit = None  # built lazily; see _process_chunk
+        self._replay_consumed = 0  # batches served by replay_gen (resume)
         self.logs: list[IterationLog] = []
         # Per-phase wall-clock accounting (SURVEY.md section 5.1 — the
         # reference has no tracing at all); read loop.timings.report().
@@ -475,6 +476,7 @@ class ALinkLoop:
             for _ in range(cfg.mixture_ratio):
                 (rl, rr), ry = next(self.replay_gen)
                 self.state.replay_draws += 1
+                self._replay_consumed += 1
                 parts_l.append(np.asarray(rl))
                 parts_r.append(np.asarray(rr))
                 parts_y.append(np.asarray(ry).reshape(-1))
@@ -554,9 +556,14 @@ class ALinkLoop:
             # position the interrupted run had consumed — without this a
             # resumed run fine-tunes on different replay batches and the
             # trajectory silently diverges from the uninterrupted one.
+            # Only the DELTA from what this generator has already served
+            # is skipped, so a second restore() (or restore() followed by
+            # run(checkpoint_path=...)) is a no-op instead of a double
+            # skip.
             s.replay_draws = int(counters[3])
-            for _ in range(s.replay_draws):
+            while self._replay_consumed < s.replay_draws:
                 next(self.replay_gen)
+                self._replay_consumed += 1
         if "buffer_y" in loop_tree:
             s.buffer_left = np.asarray(loop_tree["buffer_left"])
             s.buffer_right = np.asarray(loop_tree["buffer_right"])
@@ -585,13 +592,20 @@ class ALinkLoop:
         """
         cfg = self.config
         if checkpoint_path:
-            if self.restore(checkpoint_path):
-                # pool_cursor, counters, buffers and key are back; the
-                # while-loop below continues from the saved slab.
-                pass
+            # pool_cursor, counters, buffers, RNG key and replay position
+            # come back; the while-loop continues from the saved slab.
+            resumed = self.restore(checkpoint_path)
+            print(f"[alink] {'resumed from' if resumed else 'no checkpoint at'}"
+                  f" {checkpoint_path}")
         p = dig_post.num_people
         iters = 0
-        while self.state.pool_cursor < p:
+        # The stop condition is evaluated BEFORE each iteration: a resumed
+        # run whose restored state already satisfies it must not run (and
+        # charge the oracle for) an extra slab.
+        while self.state.pool_cursor < p and not (
+                self.state.un_size > 0
+                and int(cfg.active_ratio * self.state.un_size)
+                <= self.state.active_count):  # ALINK.py:257-259
             ii = self.state.pool_cursor
             sl = list(range(ii, min(ii + cfg.alink_bs, p)))
             self.run_iteration(plain_raw.take_people(sl),
@@ -600,9 +614,6 @@ class ALinkLoop:
             iters += 1
             if checkpoint_path and iters % max(1, checkpoint_every) == 0:
                 self.save(checkpoint_path)
-            if int(cfg.active_ratio * self.state.un_size) <= \
-                    self.state.active_count:  # ALINK.py:257-259
-                break
         if checkpoint_path:
             self.save(checkpoint_path)
         return self.state

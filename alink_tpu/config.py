@@ -72,6 +72,10 @@ class ALinkConfig:
     # many people (data/synth.py) and runs the complete system against
     # it — no dataset download needed to exercise every code path.
     synthetic_people: int = 0
+    # Samples per training epoch for the M2/ensemble pretraining stages
+    # (the reference hard-codes 320000, siamese.py:44-50).  Demo runs on
+    # synthetic trees should set something tiny (e.g. 256).
+    train_steps: int = 320000
     # Mid-loop fault tolerance (SURVEY.md section 5.3; the reference
     # loses all selection state on interruption, ALINK.py:135-143):
     # when set, the loop auto-resumes from this path and checkpoints
@@ -168,6 +172,7 @@ class MTPConfig:
     device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
     loop_checkpoint: str = ""  # see ALinkConfig.loop_checkpoint
     checkpoint_every: int = 1
+    train_steps: int = 320000  # see ALinkConfig.train_steps
 
     def __post_init__(self):
         if self.low_res > self.normal_res[0]:  # ALINK_MTP.py:32

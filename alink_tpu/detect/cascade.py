@@ -173,6 +173,13 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
         scores_l.append(s)
         regs_l.append(r)
         valid_l.append(v)
+    if not boxes_l:
+        # Image's min side <= cfg.min_size: the pyramid is empty and the
+        # reference returns no detections (detect_face's `while minl >
+        # MIN_DET_SIZE` plus its early None return) — produce an
+        # all-invalid budget instead of crashing on an empty stack.
+        k = cfg.stage1_budget
+        return (jnp.zeros((k, 4)), jnp.zeros((k,)), jnp.zeros((k,), bool))
     # Per-scale NMS 0.5 (helper.py:161-164): all pyramid levels share one
     # candidate budget, so the whole pyramid suppresses as ONE vmapped
     # call instead of a sequential loop per level.

@@ -74,10 +74,16 @@ def run_alink(
     config: ALinkConfig,
     *,
     featurize=None,
-    n_steps: int = 320000,
+    n_steps: int | None = None,
     key: jax.Array | None = None,
 ) -> ALinkState:
-    """The full ALINK.py main flow; returns the final loop state."""
+    """The full ALINK.py main flow; returns the final loop state.
+
+    ``n_steps`` (samples per pretraining epoch) defaults to
+    ``config.train_steps`` — the reference's hard-coded 320000.
+    """
+    if n_steps is None:
+        n_steps = config.train_steps
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     keys = iter(jax.random.split(key, 16))
 

@@ -64,10 +64,16 @@ def run_alink_mtp(
     config: MTPConfig,
     *,
     featurize=None,
-    n_steps: int = 320000,
+    n_steps: int | None = None,
     key: jax.Array | None = None,
 ) -> tuple[ALinkState, float | None]:
-    """ALINK_MTP.py main flow; returns (loop state, top-1 accuracy)."""
+    """ALINK_MTP.py main flow; returns (loop state, top-1 accuracy).
+
+    ``n_steps`` defaults to ``config.train_steps`` (the reference's
+    hard-coded 320000 samples/epoch).
+    """
+    if n_steps is None:
+        n_steps = config.train_steps
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     keys = iter(jax.random.split(key, 16))
 

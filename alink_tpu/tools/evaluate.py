@@ -31,12 +31,11 @@ _CASES = {1: "impersonation", 2: "obfuscation", 3: "overall"}
 
 def evaluate_scores(scores: np.ndarray, mask: np.ndarray, roc_case: int,
                     thresholds: np.ndarray):
-    """Masked split + sweep + stats for one ROC case."""
-    from alink_tpu.evaluation import masked_scores, roc_stats, threshold_sweep
+    """Masked split + sweep + stats for one ROC case
+    (= evaluation.roc_from_scores; kept as the tool's seam for tests)."""
+    from alink_tpu.evaluation import roc_from_scores
 
-    genuine, imposter = masked_scores(scores, mask, roc_case)
-    tpr, fpr = threshold_sweep(genuine, imposter, thresholds)
-    return np.asarray(tpr), np.asarray(fpr), roc_stats(tpr, fpr)
+    return roc_from_scores(scores, mask, roc_case, thresholds)
 
 
 def main(argv=None) -> None:

@@ -672,3 +672,57 @@ class TestSelectionQuality:
         assert alink_bal > base_bal, msg
         assert alink_gen >= rand_gen + 0.08, msg
         assert alink_bal >= rand_bal - 0.02, msg
+
+
+class TestCheckpointEdgeCases:
+    def test_resume_after_stop_condition_runs_nothing(self, tmp_path):
+        """A checkpoint saved when the active_ratio stop is already
+        satisfied must not run (and charge the oracle for) an extra slab
+        on resume."""
+        helper = TestALinkLoop()
+        loop, plain, dig = helper._setup(active_ratio=0.0)
+        path = str(tmp_path / "stop_ck")
+        loop.run(plain, dig, checkpoint_path=path)  # stops after 1 slab
+        done_cursor = loop.state.pool_cursor
+        done_un = loop.state.un_size
+
+        loop2, _, _ = helper._setup(active_ratio=0.0)
+        state = loop2.run(plain, dig, checkpoint_path=path)
+        assert state.pool_cursor == done_cursor
+        assert state.un_size == done_un  # no extra iteration happened
+        assert loop2.logs == []
+
+    def test_double_restore_does_not_double_skip_replay(self, tmp_path):
+        helper = TestALinkLoop()
+        loop, plain, dig = helper._setup()
+        # consume some replay via a finetune-triggering run
+        loop.run(plain, dig)
+        draws = loop.state.replay_draws
+        assert draws > 0
+        path = str(tmp_path / "ck")
+        loop.save(path)
+
+        loop2, _, _ = helper._setup()
+        assert loop2.restore(path)
+        assert loop2._replay_consumed == draws
+        assert loop2.restore(path)  # second restore: no extra skipping
+        assert loop2._replay_consumed == draws
+
+
+class TestEmptyPyramid:
+    def test_min_side_equal_min_size_returns_no_detections(self):
+        """Reference: `while minl > MIN_DET_SIZE` yields an empty pyramid
+        for images whose min side == minsize, and detect_face returns
+        None — we return an all-invalid budget instead of crashing."""
+        import jax.numpy as jnp
+
+        from alink_tpu.detect.cascade import (CascadeConfig, detect_faces,
+                                              init_cascade_params)
+
+        params = init_cascade_params(jax.random.PRNGKey(0), with_lnet=False)
+        cfg = CascadeConfig(min_size=40, thresholds=(0.0, 0.0, 0.0),
+                            stage1_scale_budget=8, stage1_budget=8,
+                            stage2_budget=4, stage3_budget=2)
+        imgs = jnp.zeros((2, 40, 40, 3))
+        det = detect_faces(params, imgs, cfg)
+        assert not bool(det.valid.any())
