@@ -187,18 +187,45 @@ def affine_warp_batch(
     return out[:, :out_h].astype(imgs.dtype)
 
 
-def _warp_kernel(scal_ref, img_ref, seg_ref, out_ref, *, out_w: int,
-                 rows_per_tile: int, h: int, w: int, c: int, border: str,
-                 cdt):
-    """Pallas body: warp one (rows_per_tile, out_w) output tile of image n.
+def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
+                 out_w: int, rows_per_tile: int, band: int, wc: int,
+                 c4: int, h: int, w: int, border: str, cdt):
+    """Pallas body: warp one (rows_per_tile, out_w) output tile of image i.
 
-    The tap-weight matrices never touch HBM — they are built in VMEM from
-    broadcasted iotas against the tile's source coordinates, so the only
-    HBM traffic is the source image (DMA'd once per image: the grid runs
-    tiles innermost and Mosaic keeps a block whose index didn't change)
-    and the output tile.  The H contraction is one MXU matmul; the W
-    contraction multiplies per-pixel column weights into the row-slab and
-    folds channels out with a static 0/1 segment matrix (second matmul).
+    The image block (1, h, wc) is BlockSpec-managed: its index depends
+    only on the outer grid axis, so Mosaic keeps it resident across the
+    inner tile steps and double-buffers the next image's fetch behind
+    compute.  (A manual per-tile HBM->VMEM DMA of just the band measured
+    4x SLOWER — 12.6 vs 3.0 ms/64 — because an in-kernel dma.wait()
+    serialises memory behind every grid step.)
+
+    Banded-K formulation (``band < h``): the H contraction of tile t only
+    touches ``band`` consecutive source rows (the tile's bilinear tap
+    span, located by the scalar-prefetched 8-aligned offset
+    ``ylo_ref[i, t]`` — ``pl.multiple_of`` carries the alignment proof
+    Mosaic needs for the dynamic sublane slice).  With band=128 the MXU
+    matmul runs at K=128 with zero K-padding, vs K=h rounded up (h=160
+    pads to 256: 2x wasted FLOPs).  A tile whose tap span exceeds the
+    band (very large rotation/downscale) is handled EXACTLY by a
+    ``pl.when``-predicated full-height contraction for just that tile —
+    per-tile predication on the scalar core, because an XLA-level
+    ``lax.cond`` between two whole pallas programs measured ~6 ms of
+    pure branch overhead (9.1 vs 2.9 ms/64 for the identical program
+    unconditioned).
+
+    The W contraction avoids the N=C lane-pad disaster (C=3 pads to 128:
+    a 42x-padded (tp, W*C)@(W*C, C) matmul) by channel-padding the image
+    to c4 | 128 lanes so W*c4 is a 128-multiple: per-pixel column weights
+    multiply into each 128-lane slice, lane-aligned slices tree-add into
+    one (tp, 128) accumulator (every slice keeps channel phase because
+    128 % c4 == 0), and a tiny (tp, 128)@(128, c4) 0/1 matmul folds the
+    lanes to channels.
+
+    Tap weights are built in VMEM from broadcasted iotas — they never
+    touch HBM.  The per-slice column index is a (1, 128) row (hoisted:
+    lane//c4 once, plus a scalar 128//c4 step per slice) that broadcasts
+    against the (tp, 1) X coordinates, so the VPU spends its cycles on
+    the irreducible tri-weight evaluation, not on index arithmetic.
     """
     i = pl.program_id(0)
     t = pl.program_id(1)
@@ -220,34 +247,137 @@ def _warp_kernel(scal_ref, img_ref, seg_ref, out_ref, *, out_w: int,
         X = jnp.clip(X, 0.0, w - 1.0)
         Y = jnp.clip(Y, 0.0, h - 1.0)
 
-    h_idx = jax.lax.broadcasted_iota(jnp.int32, (tp, h), 1
-                                     ).astype(jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - h_idx))           # (tp, H)
-    rows = jnp.dot(wy.astype(cdt), img_ref[0],
-                   preferred_element_type=jnp.float32)        # (tp, W*C)
-    wc_idx = (jax.lax.broadcasted_iota(jnp.int32, (tp, w * c), 1)
-              // c).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - wc_idx))          # (tp, W*C)
-    out_ref[0] = jnp.dot((rows * wx).astype(cdt), seg_ref[:],
-                         preferred_element_type=jnp.float32)  # (tp, C)
+    def wfold_store(rows):
+        lane4 = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                 // c4).astype(jnp.float32)                   # hoisted
+        acc = None
+        for s in range(wc // 128):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+                X - (lane4 + float(s * (128 // c4)))))        # (tp, 128)
+            z = rows[:, s * 128:(s + 1) * 128] * wx
+            acc = z if acc is None else acc + z
+        fold = (jax.lax.broadcasted_iota(jnp.int32, (128, c4), 0) % c4
+                == jax.lax.broadcasted_iota(jnp.int32, (128, c4), 1)
+                ).astype(cdt)
+        out_ref[0] = jnp.dot(acc.astype(cdt), fold,
+                             preferred_element_type=jnp.float32)  # (tp, c4)
+
+    def full_tile():
+        row = jax.lax.broadcasted_iota(jnp.int32, (tp, h), 1
+                                       ).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))         # (tp, h)
+        wfold_store(jnp.dot(wy.astype(cdt), img_ref[0],
+                            preferred_element_type=jnp.float32))
+
+    if band < h:
+        # ylo_ref[i, t] = 8-aligned band offset, or -1 for a tile whose
+        # tap span exceeds the band.  The banded contraction runs
+        # UNCONDITIONALLY (offset clamped for overflow tiles — their
+        # result is garbage) and the rare overflow tile is then
+        # overwritten by a pl.when full-height pass: a never-taken
+        # pl.when costs only its scalar predicate, whereas wrapping the
+        # common path in pl.when too measured +0.9 ms/64 (predication
+        # breaks Mosaic's cross-step pipelining for every tile).
+        y_lo_raw = ylo_ref[i, t]
+        # _band_offsets aligns down to 8; Mosaic needs the proof.
+        y_lo = pl.multiple_of(jnp.maximum(y_lo_raw, 0), 8)
+        row = (y_lo
+               + jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1)
+               ).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))         # (tp, band)
+        wfold_store(jnp.dot(wy.astype(cdt),
+                            img_ref[0, pl.ds(y_lo, band)],
+                            preferred_element_type=jnp.float32))
+        pl.when(y_lo_raw < 0)(full_tile)
+    else:
+        full_tile()
+
+
+def _banded_warp_call(imgs4, scal, ylo, out_size, band, rows_per_tile,
+                      h, w, c4, border, interpret):
+    """One pallas_call of the warp kernel (banded iff ``band < h``).
+
+    ``imgs4``: (n, h, wc) bf16, lanes = w*c4 padded to a 128-multiple.
+    ``ylo``: (n, n_tiles) int32 8-aligned band offsets with
+    0 <= ylo <= h - band (ignored by the kernel when band == h).
+    """
+    n, _, wc = imgs4.shape
+    out_h, out_w = out_size
+    n_tiles = -(-out_h // rows_per_tile)
+    tp = rows_per_tile * out_w
+    cdt = imgs4.dtype
+
+    out = pl.pallas_call(
+        partial(_warp_kernel, out_w=out_w, rows_per_tile=rows_per_tile,
+                band=band, wc=wc, c4=c4, h=h, w=w, border=border, cdt=cdt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # per-image Ainv/b + per-tile band rows
+            grid=(n, n_tiles),
+            in_specs=[pl.BlockSpec((1, h, wc),
+                                   lambda i, t, scal, ylo: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, tp, c4),
+                                   lambda i, t, scal, ylo: (i, t, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tp, c4), jnp.float32),
+        interpret=interpret,
+    )(scal, ylo, imgs4)
+    return out
+
+
+def _band_offsets(Ainv, bvec, out_size, rows_per_tile, band, h, border):
+    """Per-(image, tile) 8-aligned source-row band offsets, -1 = overflow.
+
+    The bilinear taps of output tile t cover source rows
+    [floor(Ymin), floor(Ymax)+1] where Y is linear in (x, y), so its
+    extrema sit at the tile's corners.  A tile whose in-image tap rows
+    do not fit inside [ylo, ylo + band) gets offset -1 — the kernel
+    runs that tile with a full-height contraction (exactness is never
+    sacrificed to the banding).
+    """
+    out_h, out_w = out_size
+    n_tiles = -(-out_h // rows_per_tile)
+    ts = jnp.arange(n_tiles, dtype=jnp.float32) * rows_per_tile
+    ys = jnp.stack([ts, ts + rows_per_tile - 1.0], -1)        # (T, 2)
+    xs = jnp.array([0.0, out_w - 1.0], jnp.float32)
+    a10 = Ainv[:, 1, 0][:, None, None, None]
+    a11 = Ainv[:, 1, 1][:, None, None, None]
+    bx = bvec[:, 0][:, None, None, None]
+    by = bvec[:, 1][:, None, None, None]
+    Yc = (a10 * (xs[None, None, None, :] - bx)
+          + a11 * (ys[None, :, :, None] - by))                # (n, T, 2, 2)
+    if border == "nearest":
+        Yc = jnp.clip(Yc, 0.0, h - 1.0)
+    Ymin = jnp.floor(jnp.min(Yc, axis=(2, 3)))
+    Ymax = jnp.floor(jnp.max(Yc, axis=(2, 3))) + 1.0
+    ylo = jnp.clip(Ymin, 0.0, float(h - band)).astype(jnp.int32)
+    ylo = (ylo // 8) * 8  # 8-aligned slice offsets; align-down only widens
+    rmax = jnp.minimum(Ymax, float(h - 1))
+    fits = rmax - ylo.astype(jnp.float32) <= band - 1
+    return jnp.where(fits, ylo, -1)
 
 
 @partial(jax.jit,
-         static_argnames=("out_size", "border", "interpret"))
+         static_argnames=("out_size", "border", "interpret", "band"))
 def affine_warp_batch_pallas(
     imgs: jnp.ndarray,
     Ms: jnp.ndarray,
     out_size: tuple[int, int],
     border: str = "zero",
     interpret: bool = False,
+    band: int = 128,
 ) -> jnp.ndarray:
     """Pallas TPU warp: same numerics contract as ``affine_warp_batch``.
 
     The einsum formulation above materialises (N, P, H) / (N, P, W*C)
     weight and row tensors in HBM — gigabytes of traffic for a 64-image
     alignment batch (measured 7.3 ms).  Here those live only in VMEM a
-    tile at a time, so HBM traffic collapses to (read image + write chips)
-    and the cost is the MXU contraction itself.
+    tile at a time, so HBM traffic collapses to (read image + write
+    chips) and the cost is the contraction itself — banded to K=``band``
+    source rows per output tile (see ``_warp_kernel``), which for
+    face-alignment transforms cuts the H matmul to its pad-free
+    minimum.  If any tile's tap span exceeds the band (very large
+    rotations / downscales), a ``lax.cond`` reruns the same kernel with
+    a full-height band, so results are exact for every transform.
 
     Weights/taps are contracted in bfloat16 with f32 accumulation —
     tap weights are exact to ~2^-8, i.e. <=1 LSB on uint8-range pixels,
@@ -258,48 +388,55 @@ def affine_warp_batch_pallas(
     out_h, out_w = out_size
     cdt = jnp.bfloat16
 
-    # The VMEM intermediates scale with the SOURCE image (wy: tp x H,
-    # rows: tp x W*C, f32 + a bf16 cast each), and the source block
-    # itself is DMA'd whole (h x w*c bf16).  Past ~1300^2 RGB the image
-    # block alone exhausts VMEM — fall back to the XLA einsum path
+    # Lane layout: channel-pad c -> c4 (smallest power of two >= c that
+    # divides 128) and pad w*c4 to a 128-multiple so the fold slices are
+    # lane-tile aligned.  Padded lanes hold zero pixels, so any tap
+    # weight they pick up contributes zero — exactly the zero border.
+    c4 = 1
+    while c4 < c or 128 % c4:
+        c4 *= 2
+    wc = -(-(w * c4) // 128) * 128
+
+    # The whole (h, wc) image block plus the tp x wc row slab must fit
+    # VMEM (the block is what Mosaic pipelines across grid steps — a
+    # manual banded DMA that needs no resident image measured 4x slower,
+    # see _warp_kernel).  Past ~10 MB fall back to the XLA einsum path
     # (same numerics contract) rather than fail to compile.
-    if h * w * c * 2 > 10 << 20:
+    if c4 > 128 or h * wc * 2 > 10 << 20:
         return affine_warp_batch(imgs, Ms, out_size, border=border)
+    banded = h > band
 
     Ainv = jnp.linalg.inv(Ms[:, :, :2].astype(jnp.float32))
-    scal = jnp.concatenate(
-        [Ainv.reshape(n, 4), Ms[:, :, 2].astype(jnp.float32)], axis=1)
+    bvec = Ms[:, :, 2].astype(jnp.float32)
+    scal = jnp.concatenate([Ainv.reshape(n, 4), bvec], axis=1)
 
-    # Tile sizing: <=2048 output pixels AND the source-scaled
-    # intermediates within ~8 MB (tp * (H + W*C) * 6 bytes), so large
-    # source frames shrink the tile instead of blowing VMEM.
-    bytes_per_px = (h + w * c) * 6
+    # Tile sizing: <=2048 output pixels AND the K/lane-scaled
+    # intermediates within ~8 MB, so large sources shrink the row tile
+    # instead of blowing VMEM.
+    bytes_per_px = 6 * (band if banded else h) + 5 * wc
     tile_px = max(out_w, min(2048, (8 << 20) // max(1, bytes_per_px)))
     rows_per_tile = max(1, min(out_h, tile_px // out_w))
     n_tiles = -(-out_h // rows_per_tile)
     tp = rows_per_tile * out_w
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
-           == jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
-           ).astype(cdt)
+    imgs4 = (imgs.astype(cdt) if c == c4 else
+             jnp.pad(imgs.astype(cdt), ((0, 0), (0, 0), (0, 0),
+                                        (0, c4 - c))))
+    imgs4 = imgs4.reshape(n, h, w * c4)
+    if wc > w * c4:
+        imgs4 = jnp.pad(imgs4, ((0, 0), (0, 0), (0, wc - w * c4)))
 
-    out = pl.pallas_call(
-        partial(_warp_kernel, out_w=out_w, rows_per_tile=rows_per_tile,
-                h=h, w=w, c=c, border=border, cdt=cdt),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # per-image Ainv/b scalars, whole in SMEM
-            grid=(n, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, h, w * c), lambda i, t, scal: (i, 0, 0)),
-                pl.BlockSpec((w * c, c), lambda i, t, scal: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, tp, c),
-                                   lambda i, t, scal: (i, t, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tp, c), jnp.float32),
-        interpret=interpret,
-    )(scal, imgs.reshape(n, h, w * c).astype(cdt), seg)
-    return out[:, : out_h * out_w].reshape(
+    if banded:
+        ylo = _band_offsets(Ainv, bvec, out_size, rows_per_tile,
+                            band, h, border)
+    else:
+        band = h
+        ylo = jnp.zeros((n, n_tiles), jnp.int32)
+    out = _banded_warp_call(imgs4, scal, ylo, out_size=out_size,
+                            band=band, rows_per_tile=rows_per_tile,
+                            h=h, w=w, c4=c4, border=border,
+                            interpret=interpret)
+    return out[:, : out_h * out_w, :c].reshape(
         n, out_h, out_w, c).astype(imgs.dtype)
 
 

@@ -343,6 +343,47 @@ def test_affine_warp_pallas_huge_source_falls_back():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
 
+def test_affine_warp_pallas_banded_tall_source(rng):
+    """Sources taller than the band run the banded-K path: each output
+    tile contracts only its own (scalar-prefetched) source-row band.
+    A small band on a tall source exercises genuinely different per-tile
+    offsets; mild rotation keeps every tile's tap span inside the band."""
+    k1, k2 = jax.random.split(rng)
+    imgs = jax.random.uniform(k1, (2, 60, 23, 3)) * 255.0
+    thetas = jnp.array([0.08, -0.06])
+    c, s = jnp.cos(thetas) * 1.7, jnp.sin(thetas) * 1.7
+    t = jnp.array([[2.0, 1.0], [-1.0, 3.0]])
+    Ms = jnp.stack(
+        [jnp.stack([c, -s, t[:, 0]], -1), jnp.stack([s, c, t[:, 1]], -1)],
+        axis=1)
+    for border in ("zero", "nearest"):
+        got = imops.affine_warp_batch_pallas(imgs, Ms, (32, 12),
+                                             border=border, interpret=True,
+                                             band=16)
+        want = jnp.stack([
+            imops._affine_warp_gather(imgs[i], Ms[i], (32, 12), border=border)
+            for i in range(2)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1.5)
+
+
+def test_affine_warp_pallas_band_overflow_exact_fallback(rng):
+    """A rotation whose tap span exceeds the band must NOT lose taps: the
+    lax.cond falls back to a full-height band and stays exact."""
+    imgs = jax.random.uniform(rng, (2, 60, 60, 3)) * 255.0
+    theta = jnp.array([1.2, -1.1])  # ~68 deg: span >> 16-row band
+    c, s = jnp.cos(theta) * 0.8, jnp.sin(theta) * 0.8
+    Ms = jnp.stack(
+        [jnp.stack([c, -s, jnp.array([30.0, 25.0])], -1),
+         jnp.stack([s, c, jnp.array([20.0, 28.0])], -1)], axis=1)
+    got = imops.affine_warp_batch_pallas(imgs, Ms, (24, 24), interpret=True,
+                                         band=16)
+    want = jnp.stack([
+        imops._affine_warp_gather(imgs[i], Ms[i], (24, 24))
+        for i in range(2)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1.5)
+
+
 def test_affine_warp_correct_under_bf16_matmul_default(rng):
     """Regression: coordinate transforms must not flow through matmuls.
 
