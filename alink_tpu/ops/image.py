@@ -41,6 +41,24 @@ def resize(images: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return out[0] if single else out
 
 
+def _inv2x2(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (..., 2, 2) matrices (adjugate / det).
+
+    ``jnp.linalg.inv`` lowers to an LU custom lowering whose while-loops
+    cost ~ms on TPU for a batch of these tiny matrices; the adjugate is
+    four elementwise ops and stays off the bf16 matmul path entirely
+    (these hold pixel-coordinate transforms).
+    """
+    a = A[..., 0, 0]
+    b = A[..., 0, 1]
+    c = A[..., 1, 0]
+    d = A[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack([jnp.stack([d, -b], axis=-1),
+                     jnp.stack([-c, a], axis=-1)], axis=-2)
+    return inv / det[..., None, None]
+
+
 def _bilinear_sample(
     img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, border: str = "zero"
 ) -> jnp.ndarray:
@@ -81,7 +99,7 @@ def _affine_warp_gather(
     out_h, out_w = out_size
     A = M[:, :2]
     b = M[:, 2]
-    Ainv = jnp.linalg.inv(A)
+    Ainv = _inv2x2(A)
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=jnp.float32),
         jnp.arange(out_w, dtype=jnp.float32),
@@ -138,7 +156,7 @@ def affine_warp_batch(
     cdt = compute_dtype or (imgs.dtype if imgs.dtype in (jnp.bfloat16,)
                             else jnp.float32)
 
-    Ainv = jnp.linalg.inv(Ms[:, :, :2].astype(jnp.float32))  # (n, 2, 2)
+    Ainv = _inv2x2(Ms[:, :, :2].astype(jnp.float32))  # (n, 2, 2)
     bvec = Ms[:, :, 2].astype(jnp.float32)                   # (n, 2) (bx, by)
 
     # Row-block size: keep the (n, R*out_w, W, C) intermediate ~<=128 MB.
@@ -406,7 +424,7 @@ def affine_warp_batch_pallas(
         return affine_warp_batch(imgs, Ms, out_size, border=border)
     banded = h > band
 
-    Ainv = jnp.linalg.inv(Ms[:, :, :2].astype(jnp.float32))
+    Ainv = _inv2x2(Ms[:, :, :2].astype(jnp.float32))
     bvec = Ms[:, :, 2].astype(jnp.float32)
     scal = jnp.concatenate([Ainv.reshape(n, 4), bvec], axis=1)
 

@@ -8,15 +8,29 @@ Replaces two reference code paths (SURVEY.md section 2.3):
   a hand-rolled Umeyama via 2x2 SVD.
 
 Both compute the least-squares similarity (rotation + uniform scale +
-translation) mapping ``src`` points onto ``dst`` points.  The closed form
-(Umeyama 1991):
+translation) mapping ``src`` points onto ``dst`` points.  Umeyama 1991's
+SVD recipe
 
-    mu_s, mu_d  = means;  cov = (dst - mu_d)^T (src - mu_s) / n
-    U, D, Vt    = svd(cov);  S = diag(1, sign(det(U) det(Vt)))
-    R = U S Vt;  c = trace(diag(D) S) / var(src);  t = mu_d - c R mu_s
+    cov = (dst - mu_d)^T (src - mu_s) / n;  U, D, Vt = svd(cov)
+    S = diag(1, sign(det U det Vt));  R = U S Vt
+    c = trace(diag(D) S) / var(src);  t = mu_d - c R mu_s
 
-Everything is 2x2, fully vectorised, and vmappable over faces (the
-reference loops per face, mtcnn_detector.py:606-656).
+optimises over PROPER rotations (the S matrix bars reflections), and in
+2-D that optimum has an SVD-free closed form: scaled proper rotations
+``cR = [[a, -b], [b, a]]`` are exactly multiplication by the complex
+number ``a + ib``, so the least-squares fit is one complex regression
+
+    a + ib = sum_k d_k conj(s_k) / sum_k |s_k|^2      (centred points)
+
+(t as above).  The rotation angle equals the phase of ``sum d conj(s)``
+= the polar/trace-maximising rotation U diag(1, sign) Vt, and the
+modulus equals (d1 +/- d2)/var — identical to Umeyama's c, including
+the reflective (det cov < 0) case.  This form is pure elementwise
+arithmetic: no SVD (XLA lowers jnp.linalg.svd on TPU to an iterative
+while-loop — measured ~0.8 ms for a 64-face batch of these 2x2s, vs
+microseconds for the closed form), no matmuls (so pixel *coordinates*
+never touch bf16 MXU operands), and it vmaps over faces (the reference
+loops per face, mtcnn_detector.py:606-656).
 """
 
 from __future__ import annotations
@@ -31,27 +45,22 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     ``src``/``dst``: (K, 2) point sets in (x, y).  Returns the forward
     2x3 matrix usable with ``ops.image.affine_warp``.
     """
-    n = src.shape[0]
     mu_s = src.mean(axis=0)
     mu_d = dst.mean(axis=0)
     src_c = src - mu_s
     dst_c = dst - mu_d
-    # These are 2x2/Kx2 contractions of pixel *coordinates*: keep them off
-    # the default TPU matmul path, whose bf16 operand mantissas would
-    # perturb the fitted transform by ~0.4% (≈half-pixel warp error).
-    hi = jax.lax.Precision.HIGHEST
-    cov = jnp.einsum("ki,kj->ij", dst_c, src_c, precision=hi) / n  # (2, 2)
-    var_s = jnp.sum(src_c**2) / n
-
-    U, D, Vt = jnp.linalg.svd(cov)
-    sign = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
-    S = jnp.array([1.0, 1.0]) * jnp.array([1.0, 0.0]) + jnp.array(
-        [0.0, 1.0]
-    ) * sign  # diag entries (1, sign)
-    R = jnp.einsum("ij,jk->ik", U * S[None, :], Vt, precision=hi)
-    scale = jnp.sum(D * S) / jnp.maximum(var_s, 1e-12)
-    t = mu_d - scale * jnp.einsum("ij,j->i", R, mu_s, precision=hi)
-    return jnp.concatenate([scale * R, t[:, None]], axis=1)  # (2, 3)
+    # Complex regression for the scaled proper rotation (see module
+    # docstring) — all elementwise f32, so pixel *coordinates* never
+    # touch the TPU's default-bf16 matmul path.
+    a = jnp.sum(dst_c[:, 0] * src_c[:, 0] + dst_c[:, 1] * src_c[:, 1])
+    b = jnp.sum(dst_c[:, 1] * src_c[:, 0] - dst_c[:, 0] * src_c[:, 1])
+    denom = jnp.maximum(jnp.sum(src_c**2), 1e-12)
+    a = a / denom
+    b = b / denom
+    cR = jnp.stack([jnp.stack([a, -b]), jnp.stack([b, a])])
+    t = mu_d - jnp.stack([a * mu_s[0] - b * mu_s[1],
+                          b * mu_s[0] + a * mu_s[1]])
+    return jnp.concatenate([cR, t[:, None]], axis=1)  # (2, 3)
 
 
 umeyama_batch = jax.vmap(umeyama)

@@ -55,13 +55,19 @@ def main():
         pass
     batch = 64
     size = 160
-    cfg = CascadeConfig(
-        thresholds=(0.0, 0.0, 0.0),
-        stage1_scale_budget=64,
-        stage1_budget=128,
-        stage2_budget=64,
-        stage3_budget=16,
-    )
+    # The headline profile (bench.py / CascadeConfig.typical); override
+    # via PROFILE=legacy for the round-1 intermediate budgets.
+    import os
+    if os.environ.get("PROFILE") == "legacy":
+        cfg = CascadeConfig(
+            thresholds=(0.0, 0.0, 0.0),
+            stage1_scale_budget=64,
+            stage1_budget=128,
+            stage2_budget=64,
+            stage3_budget=16,
+        )
+    else:
+        cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
     embedder = ArcFaceResNet100()
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3)))
@@ -86,6 +92,11 @@ def main():
     chips = jax.jit(warp)(x, blmk)
     embed = lambda c: embedder.apply(eparams, c[:, 0])
 
+    from alink_tpu.detect import FaceModel
+    fm = FaceModel(eparams, cparams, cfg)
+    fm.embedder = embedder
+    whole = lambda im: fm.pipeline(eparams, cparams, im)
+
     out = {
         "stage1_pnet_ms": round(timed(s1, x) * 1e3, 2),
         "stage2_rnet_ms": round(timed(s2, x, b1, sc1, v1) * 1e3, 2),
@@ -94,6 +105,12 @@ def main():
         "align_warp_ms": round(timed(warp, x, blmk) * 1e3, 2),
         "embed_ms": round(timed(embed, chips) * 1e3, 2),
     }
+    # The fused whole-pipeline program vs the sum of its stages: the gap
+    # is inter-stage fusion/copy overhead the per-stage rows can't see.
+    out["whole_pipeline_ms"] = round(timed(whole, x) * 1e3, 2)
+    out["stage_sum_ms"] = round(sum(
+        v for k, v in out.items() if k.endswith("_ms")
+        and k != "whole_pipeline_ms"), 2)
     print(json.dumps(out))
 
 
