@@ -206,16 +206,24 @@ def affine_warp_batch(
 
 
 def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
-                 out_w: int, rows_per_tile: int, band: int, wc: int,
-                 c4: int, h: int, w: int, border: str, cdt):
+                 out_w: int, rows_per_tile: int, band: int, wcn: int,
+                 c: int, cpad: int, h: int, w: int, border: str):
     """Pallas body: warp one (rows_per_tile, out_w) output tile of image i.
 
-    The image block (1, h, wc) is BlockSpec-managed: its index depends
-    only on the outer grid axis, so Mosaic keeps it resident across the
-    inner tile steps and double-buffers the next image's fetch behind
-    compute.  (A manual per-tile HBM->VMEM DMA of just the band measured
-    4x SLOWER — 12.6 vs 3.0 ms/64 — because an in-kernel dma.wait()
-    serialises memory behind every grid step.)
+    The image block (1, h, wcn) holds the source in its NATIVE lane
+    order — lane ``l`` is pixel ``x = l // c``, channel ``l % c`` (w*c
+    lanes zero-padded to a 128-multiple) — and stays f32: the band slice
+    is cast to bf16 in VMEM per step (~65K elements, negligible), so the
+    wrapper needs NO relayout prep at all.  (The previous kernel required
+    a bf16 channel-interleave 3->4 pad — a lane-granularity relayout that
+    cost ~0.5 ms/64 per batch in the pipeline — and its power-of-two
+    channel pad inflated the lane count 640 vs 512 for 160x160x3.)
+
+    The block's index depends only on the outer grid axis, so Mosaic
+    keeps it resident across the inner tile steps and double-buffers the
+    next image's fetch behind compute.  (A manual per-tile HBM->VMEM DMA
+    of just the band measured 4x SLOWER — 12.6 vs 3.0 ms/64 — because an
+    in-kernel dma.wait() serialises memory behind every grid step.)
 
     Banded-K formulation (``band < h``): the H contraction of tile t only
     touches ``band`` consecutive source rows (the tile's bilinear tap
@@ -232,18 +240,17 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
     unconditioned).
 
     The W contraction avoids the N=C lane-pad disaster (C=3 pads to 128:
-    a 42x-padded (tp, W*C)@(W*C, C) matmul) by channel-padding the image
-    to c4 | 128 lanes so W*c4 is a 128-multiple: per-pixel column weights
-    multiply into each 128-lane slice, lane-aligned slices tree-add into
-    one (tp, 128) accumulator (every slice keeps channel phase because
-    128 % c4 == 0), and a tiny (tp, 128)@(128, c4) 0/1 matmul folds the
-    lanes to channels.
+    a 42x-padded (tp, W*C)@(W*C, C) matmul) by folding lanes->channels
+    per 128-lane slice: per-pixel column weights (from the slice's
+    lane->x map ``(s*128 + l) // c``) multiply into the slice, and a
+    per-slice 0/1 fold matrix (from the lane->channel map
+    ``(s*128 + l) % c``) contracts its 128 lanes to ``cpad`` output
+    channels on the MXU.  Per-slice folds handle the channel-phase
+    rotation of 128 % c != 0, which is what frees the input from the
+    power-of-two channel pad.
 
     Tap weights are built in VMEM from broadcasted iotas — they never
-    touch HBM.  The per-slice column index is a (1, 128) row (hoisted:
-    lane//c4 once, plus a scalar 128//c4 step per slice) that broadcasts
-    against the (tp, 1) X coordinates, so the VPU spends its cycles on
-    the irreducible tri-weight evaluation, not on index arithmetic.
+    touch HBM.
     """
     i = pl.program_id(0)
     t = pl.program_id(1)
@@ -265,26 +272,28 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
         X = jnp.clip(X, 0.0, w - 1.0)
         Y = jnp.clip(Y, 0.0, h - 1.0)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)      # hoisted
+    chan = jax.lax.broadcasted_iota(jnp.int32, (128, cpad), 1)
+
     def wfold_store(rows):
-        lane4 = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                 // c4).astype(jnp.float32)                   # hoisted
         acc = None
-        for s in range(wc // 128):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(
-                X - (lane4 + float(s * (128 // c4)))))        # (tp, 128)
-            z = rows[:, s * 128:(s + 1) * 128] * wx
-            acc = z if acc is None else acc + z
-        fold = (jax.lax.broadcasted_iota(jnp.int32, (128, c4), 0) % c4
-                == jax.lax.broadcasted_iota(jnp.int32, (128, c4), 1)
-                ).astype(cdt)
-        out_ref[0] = jnp.dot(acc.astype(cdt), fold,
-                             preferred_element_type=jnp.float32)  # (tp, c4)
+        for s in range(wcn // 128):
+            gl = lane + s * 128
+            xmap = (gl // c).astype(jnp.float32)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - xmap))        # (tp, 128)
+            z = (rows[:, s * 128:(s + 1) * 128] * wx).astype(jnp.bfloat16)
+            fold_s = ((gl % c).reshape(128, 1) == chan
+                      ).astype(jnp.bfloat16)                      # (128, cpad)
+            part = jnp.dot(z, fold_s, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        out_ref[0] = acc                                          # (tp, cpad)
 
     def full_tile():
         row = jax.lax.broadcasted_iota(jnp.int32, (tp, h), 1
                                        ).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))         # (tp, h)
-        wfold_store(jnp.dot(wy.astype(cdt), img_ref[0],
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))             # (tp, h)
+        wfold_store(jnp.dot(wy.astype(jnp.bfloat16),
+                            img_ref[0].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32))
 
     if band < h:
@@ -302,43 +311,44 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
         row = (y_lo
                + jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1)
                ).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))         # (tp, band)
-        wfold_store(jnp.dot(wy.astype(cdt),
-                            img_ref[0, pl.ds(y_lo, band)],
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))             # (tp, band)
+        wfold_store(jnp.dot(wy.astype(jnp.bfloat16),
+                            img_ref[0, pl.ds(y_lo, band)].astype(
+                                jnp.bfloat16),
                             preferred_element_type=jnp.float32))
         pl.when(y_lo_raw < 0)(full_tile)
     else:
         full_tile()
 
 
-def _banded_warp_call(imgs4, scal, ylo, out_size, band, rows_per_tile,
-                      h, w, c4, border, interpret):
+def _banded_warp_call(imgsn, scal, ylo, out_size, band, rows_per_tile,
+                      h, w, c, cpad, border, interpret):
     """One pallas_call of the warp kernel (banded iff ``band < h``).
 
-    ``imgs4``: (n, h, wc) bf16, lanes = w*c4 padded to a 128-multiple.
-    ``ylo``: (n, n_tiles) int32 8-aligned band offsets with
-    0 <= ylo <= h - band (ignored by the kernel when band == h).
+    ``imgsn``: (n, h, wcn) f32, lane l = x*c + ch, zero-padded to a
+    128-multiple of lanes.  ``ylo``: (n, n_tiles) int32 8-aligned band
+    offsets with 0 <= ylo <= h - band (ignored when band == h).
     """
-    n, _, wc = imgs4.shape
+    n, _, wcn = imgsn.shape
     out_h, out_w = out_size
     n_tiles = -(-out_h // rows_per_tile)
     tp = rows_per_tile * out_w
-    cdt = imgs4.dtype
 
     out = pl.pallas_call(
         partial(_warp_kernel, out_w=out_w, rows_per_tile=rows_per_tile,
-                band=band, wc=wc, c4=c4, h=h, w=w, border=border, cdt=cdt),
+                band=band, wcn=wcn, c=c, cpad=cpad, h=h, w=w,
+                border=border),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # per-image Ainv/b + per-tile band rows
             grid=(n, n_tiles),
-            in_specs=[pl.BlockSpec((1, h, wc),
+            in_specs=[pl.BlockSpec((1, h, wcn),
                                    lambda i, t, scal, ylo: (i, 0, 0))],
-            out_specs=pl.BlockSpec((1, tp, c4),
+            out_specs=pl.BlockSpec((1, tp, cpad),
                                    lambda i, t, scal, ylo: (i, t, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tp, c4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tp, cpad), jnp.float32),
         interpret=interpret,
-    )(scal, ylo, imgs4)
+    )(scal, ylo, imgsn)
     return out
 
 
@@ -394,8 +404,11 @@ def affine_warp_batch_pallas(
     source rows per output tile (see ``_warp_kernel``), which for
     face-alignment transforms cuts the H matmul to its pad-free
     minimum.  If any tile's tap span exceeds the band (very large
-    rotations / downscales), a ``lax.cond`` reruns the same kernel with
-    a full-height band, so results are exact for every transform.
+    rotations / downscales), a per-tile ``pl.when`` reruns that tile
+    with a full-height band, so results are exact for every transform.
+
+    The source enters the kernel in its native (h, w*c) lane order and
+    native f32 — no relayout prep (see ``_warp_kernel``).
 
     Weights/taps are contracted in bfloat16 with f32 accumulation —
     tap weights are exact to ~2^-8, i.e. <=1 LSB on uint8-range pixels,
@@ -404,45 +417,41 @@ def affine_warp_batch_pallas(
     """
     n, h, w, c = imgs.shape
     out_h, out_w = out_size
-    cdt = jnp.bfloat16
 
-    # Lane layout: channel-pad c -> c4 (smallest power of two >= c that
-    # divides 128) and pad w*c4 to a 128-multiple so the fold slices are
-    # lane-tile aligned.  Padded lanes hold zero pixels, so any tap
-    # weight they pick up contributes zero — exactly the zero border.
-    c4 = 1
-    while c4 < c or 128 % c4:
-        c4 *= 2
-    wc = -(-(w * c4) // 128) * 128
-
-    # The whole (h, wc) image block plus the tp x wc row slab must fit
-    # VMEM (the block is what Mosaic pipelines across grid steps — a
-    # manual banded DMA that needs no resident image measured 4x slower,
-    # see _warp_kernel).  Past ~10 MB fall back to the XLA einsum path
-    # (same numerics contract) rather than fail to compile.
-    if c4 > 128 or h * wc * 2 > 10 << 20:
-        return affine_warp_batch(imgs, Ms, out_size, border=border)
+    wcn = -(-(w * c) // 128) * 128
     banded = h > band
+    band_eff = band if banded else h
+
+    # VMEM plan: the double-buffered f32 image block plus the per-tile
+    # intermediates (wy bf16: 2*band B/px, rows f32: 4*wcn B/px, wx/z
+    # temporaries ~1 KB/px) must fit the ~16 MB scoped budget.  Large
+    # sources shrink the row tile; sources whose block alone blows the
+    # budget fall back to the XLA einsum path (same numerics contract)
+    # rather than fail to compile.
+    img_bytes = 2 * h * wcn * 4
+    per_px = 2 * band_eff + 4 * wcn + 1056
+    if c > 8 or img_bytes + out_w * per_px > 13 << 20:
+        return affine_warp_batch(imgs, Ms, out_size, border=border)
+    tile_px = max(out_w, min(2048, ((13 << 20) - img_bytes) // per_px))
+    rows_per_tile = max(1, min(out_h, tile_px // out_w))
+    # Snap down to a divisor of out_h when that keeps >=half the tile:
+    # e.g. out_h=112 snaps 18 -> 16 (7 exact tiles), avoiding the 12.5%
+    # of output rows the ceil-tiling would compute and store as waste.
+    for d in range(rows_per_tile, 0, -1):
+        if out_h % d == 0:
+            if 2 * d >= rows_per_tile:
+                rows_per_tile = d
+            break
+    n_tiles = -(-out_h // rows_per_tile)
+    tp = rows_per_tile * out_w
 
     Ainv = _inv2x2(Ms[:, :, :2].astype(jnp.float32))
     bvec = Ms[:, :, 2].astype(jnp.float32)
     scal = jnp.concatenate([Ainv.reshape(n, 4), bvec], axis=1)
 
-    # Tile sizing: <=2048 output pixels AND the K/lane-scaled
-    # intermediates within ~8 MB, so large sources shrink the row tile
-    # instead of blowing VMEM.
-    bytes_per_px = 6 * (band if banded else h) + 5 * wc
-    tile_px = max(out_w, min(2048, (8 << 20) // max(1, bytes_per_px)))
-    rows_per_tile = max(1, min(out_h, tile_px // out_w))
-    n_tiles = -(-out_h // rows_per_tile)
-    tp = rows_per_tile * out_w
-
-    imgs4 = (imgs.astype(cdt) if c == c4 else
-             jnp.pad(imgs.astype(cdt), ((0, 0), (0, 0), (0, 0),
-                                        (0, c4 - c))))
-    imgs4 = imgs4.reshape(n, h, w * c4)
-    if wc > w * c4:
-        imgs4 = jnp.pad(imgs4, ((0, 0), (0, 0), (0, wc - w * c4)))
+    imgsn = imgs.astype(jnp.float32).reshape(n, h, w * c)
+    if wcn > w * c:
+        imgsn = jnp.pad(imgsn, ((0, 0), (0, 0), (0, wcn - w * c)))
 
     if banded:
         ylo = _band_offsets(Ainv, bvec, out_size, rows_per_tile,
@@ -450,9 +459,10 @@ def affine_warp_batch_pallas(
     else:
         band = h
         ylo = jnp.zeros((n, n_tiles), jnp.int32)
-    out = _banded_warp_call(imgs4, scal, ylo, out_size=out_size,
+    cpad = 8
+    out = _banded_warp_call(imgsn, scal, ylo, out_size=out_size,
                             band=band, rows_per_tile=rows_per_tile,
-                            h=h, w=w, c4=c4, border=border,
+                            h=h, w=w, c=c, cpad=cpad, border=border,
                             interpret=interpret)
     return out[:, : out_h * out_w, :c].reshape(
         n, out_h, out_w, c).astype(imgs.dtype)
