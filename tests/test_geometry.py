@@ -384,6 +384,37 @@ def test_affine_warp_pallas_band_overflow_exact_fallback(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1.5)
 
 
+@pytest.mark.parametrize("c", [1, 2, 4])
+def test_affine_warp_pallas_channel_counts(rng, c):
+    """The native-layout kernel folds lanes->channels with per-slice
+    matrices keyed on (s*128 + lane) mod c, so any small channel count
+    works — including ones whose phase rotates across 128-lane slices
+    (c=1 grayscale, c=2, c=4 RGBA)."""
+    k1, k2 = jax.random.split(rng)
+    imgs = jax.random.uniform(k1, (2, 37, 53, c)) * 255.0
+    theta = jnp.array([0.2, -0.1])
+    cs, sn = jnp.cos(theta), jnp.sin(theta)
+    t = jax.random.uniform(k2, (2, 2), minval=-2.0, maxval=6.0)
+    Ms = jnp.stack(
+        [jnp.stack([cs, -sn, t[:, 0]], -1),
+         jnp.stack([sn, cs, t[:, 1]], -1)], axis=1)
+    got = imops.affine_warp_batch_pallas(imgs, Ms, (19, 23), interpret=True)
+    want = jnp.stack([
+        imops._affine_warp_gather(imgs[i], Ms[i], (19, 23))
+        for i in range(2)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1.5)
+
+
+def test_affine_warp_pallas_many_channels_fall_back(rng):
+    """Channel counts past the fold-matrix budget (c > 8) take the XLA
+    einsum path instead of failing to compile."""
+    imgs = jax.random.uniform(rng, (1, 16, 15, 9)) * 255.0
+    M = jnp.array([[[1.1, 0.0, 2.0], [0.0, 0.9, 1.0]]])
+    got = imops.affine_warp_batch_pallas(imgs, M, (11, 12), interpret=True)
+    want = imops.affine_warp_batch(imgs, M, (11, 12))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
 def test_affine_warp_correct_under_bf16_matmul_default(rng):
     """Regression: coordinate transforms must not flow through matmuls.
 
