@@ -1,0 +1,227 @@
+"""Failure detection and retry/elastic recovery (SURVEY.md section 5.3).
+
+Greenfield: the reference has no failure story at all — an interrupted
+``ALINK.py`` run loses every selection decision and oracle charge
+(``code/ALINK.py:135-143`` rebuilds state from scratch), and a crashed
+host in a hypothetical multi-GPU run would hang the rest forever.  The
+TPU-native story has three layers, matching how JAX multi-host actually
+fails (the runtime is SPMD single-controller-per-host: when one process
+dies the others' next collective blocks until their own runtime notices
+— there is no in-band elasticity, recovery is restart-and-resume):
+
+1. **Exact resume** (already built): ``ALinkLoop.run(checkpoint_path=)``
+   checkpoints the RNG key, pool cursor, replay position and buffers, so
+   a restarted process reproduces the uninterrupted trajectory bit-for-
+   bit (``tests/test_drivers.py`` kill-and-resume test).
+2. **In-process retry** (this module): ``run_with_retries`` supervises a
+   resumable step function, classifies failures as retryable (device
+   halts, preemption-shaped RuntimeErrors, transient IO) or fatal
+   (programming errors), backs off, and re-invokes — the step resumes
+   from its checkpoint.  This is the single-host analog of a cluster
+   launcher's restart policy and the pattern production TPU training
+   uses (supervisor + orbax resume).
+3. **Peer failure detection** (this module): ``Heartbeat`` /
+   ``check_peers`` — a shared-filesystem heartbeat protocol (TPU pods
+   mount shared storage for checkpoints already) that lets any process
+   detect a dead peer *without* entering a collective that would block
+   forever, and ``barrier`` with a timeout for coordinated restart
+   decisions.  On detection the surviving processes raise
+   ``PeerFailure`` so the outer launcher can restart the job; resume is
+   then layer 1's job.
+
+Nothing here needs real multi-host hardware to test: the retry logic is
+exercised with fault-injecting step functions and the heartbeat protocol
+with simulated peer directories (``tests/test_resilience.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Sequence
+
+
+class PeerFailure(RuntimeError):
+    """A peer process missed its heartbeat deadline."""
+
+
+#: Exception types worth restarting on.  JAX surfaces device-side
+#: failures (halts, preemptions, tunnel drops) as RuntimeError /
+#: jaxlib XlaRuntimeError (a RuntimeError subclass); transient
+#: filesystem races on shared checkpoint storage surface as OSError.
+RETRYABLE: tuple[type[BaseException], ...] = (RuntimeError, OSError)
+
+#: Never retry these even though they subclass a retryable type:
+#: deterministic program bugs re-raise identically on every attempt.
+FATAL: tuple[type[BaseException], ...] = (
+    NotImplementedError,
+    RecursionError,
+)
+
+
+def _is_retryable(exc: BaseException,
+                  retryable: Sequence[type[BaseException]]) -> bool:
+    if isinstance(exc, FATAL):
+        return False
+    # Python-level errors that subclass RuntimeError only via user code
+    # are still retryable by the caller's explicit list; everything else
+    # (TypeError, ValueError, AssertionError...) is a bug, not a fault.
+    return isinstance(exc, tuple(retryable))
+
+
+@dataclasses.dataclass
+class RetryReport:
+    """What the supervisor did: attempts made and the failures seen."""
+
+    attempts: int = 0
+    failures: list[str] = dataclasses.field(default_factory=list)
+
+
+def run_with_retries(
+    step: Callable[[int], object],
+    *,
+    max_restarts: int = 3,
+    backoff_s: float = 1.0,
+    backoff_factor: float = 2.0,
+    retryable: Sequence[type[BaseException]] = RETRYABLE,
+    on_restart: Callable[[int, BaseException], None] | None = None,
+    report: RetryReport | None = None,
+    _sleep: Callable[[float], None] = time.sleep,
+) -> object:
+    """Supervise a resumable ``step(attempt)`` with restart-on-failure.
+
+    ``step`` must be *resumable*: on re-invocation it picks up from its
+    own checkpoint (e.g. ``lambda a: loop.run(pr, dp, checkpoint_path=p)``
+    — the loop's restore path makes re-running it exact).  The
+    supervisor:
+
+    - returns ``step``'s result on success;
+    - on a retryable failure, waits ``backoff_s * backoff_factor**i``
+      and re-invokes, at most ``max_restarts`` times;
+    - re-raises immediately on non-retryable failures (bugs) and after
+      the restart budget is exhausted.
+
+    ``on_restart(attempt, exc)`` runs before each retry — the hook for
+    re-running ``parallel.distributed.initialize()`` or resetting device
+    state after a runtime-level fault.
+    """
+    report = report if report is not None else RetryReport()
+    attempt = 0
+    while True:
+        report.attempts = attempt + 1
+        try:
+            return step(attempt)
+        except BaseException as exc:  # noqa: BLE001 — classified below
+            report.failures.append(f"{type(exc).__name__}: {exc}")
+            if not _is_retryable(exc, retryable) or attempt >= max_restarts:
+                raise
+            if on_restart is not None:
+                on_restart(attempt, exc)
+            _sleep(backoff_s * (backoff_factor ** attempt))
+            attempt += 1
+
+
+# -- peer failure detection ------------------------------------------------
+
+
+@dataclasses.dataclass
+class Heartbeat:
+    """Shared-filesystem liveness beacon for one process.
+
+    Each process calls ``beat()`` periodically (e.g. once per A-LINK
+    iteration, alongside its checkpoint write); ``check_peers`` on any
+    process reports which peers have stopped beating.  The protocol is a
+    plain mtime touch — no locks, no partial-read hazard — and rides the
+    same shared storage the checkpoints already use.
+    """
+
+    directory: str
+    process_id: int
+    num_processes: int
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _path(self, pid: int) -> str:
+        return os.path.join(self.directory, f"heartbeat_{pid}")
+
+    def beat(self) -> None:
+        path = self._path(self.process_id)
+        with open(path, "a"):
+            os.utime(path, None)
+
+    def last_seen(self, pid: int) -> float | None:
+        """Seconds since ``pid``'s last beat, or None if never seen."""
+        try:
+            return time.time() - os.stat(self._path(pid)).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def check_peers(self, timeout_s: float,
+                    *, grace_s: float | None = None) -> list[int]:
+        """Peer ids whose heartbeat is older than ``timeout_s``.
+
+        Peers that have *never* beaten are only reported once
+        ``grace_s`` (default ``timeout_s``) has elapsed since this
+        process's own first beat — start-up isn't a failure.
+        """
+        grace = timeout_s if grace_s is None else grace_s
+        own = self.last_seen(self.process_id)
+        dead = []
+        for pid in range(self.num_processes):
+            if pid == self.process_id:
+                continue
+            age = self.last_seen(pid)
+            if age is None:
+                if own is not None and own <= grace:
+                    continue  # still inside start-up grace
+                dead.append(pid)
+            elif age > timeout_s:
+                dead.append(pid)
+        return dead
+
+    def ensure_peers_alive(self, timeout_s: float) -> None:
+        """Raise ``PeerFailure`` naming any dead peers."""
+        dead = self.check_peers(timeout_s)
+        if dead:
+            raise PeerFailure(
+                f"process(es) {dead} missed the {timeout_s:.0f}s heartbeat "
+                f"deadline (seen from process {self.process_id})")
+
+
+def barrier(
+    hb: Heartbeat,
+    name: str,
+    *,
+    timeout_s: float = 600.0,
+    poll_s: float = 0.2,
+    _sleep: Callable[[float], None] = time.sleep,
+    _clock: Callable[[], float] = time.monotonic,
+) -> None:
+    """File-based barrier with a deadline (unlike a collective, it FAILS
+    instead of hanging when a peer died).
+
+    Every process drops ``<name>_<pid>`` and waits until all
+    ``num_processes`` markers exist; raises ``PeerFailure`` on timeout.
+    Callers must use a fresh ``name`` per synchronisation point (e.g.
+    suffix the iteration number).
+    """
+    marker = os.path.join(hb.directory, f"{name}_{hb.process_id}")
+    with open(marker, "w"):
+        pass
+    deadline = _clock() + timeout_s
+    while True:
+        present = sum(
+            os.path.exists(os.path.join(hb.directory, f"{name}_{p}"))
+            for p in range(hb.num_processes))
+        if present == hb.num_processes:
+            return
+        if _clock() > deadline:
+            missing = [p for p in range(hb.num_processes)
+                       if not os.path.exists(
+                           os.path.join(hb.directory, f"{name}_{p}"))]
+            raise PeerFailure(
+                f"barrier '{name}' timed out after {timeout_s:.0f}s; "
+                f"missing process(es) {missing}")
+        _sleep(poll_s)
