@@ -82,6 +82,11 @@ class ALinkConfig:
     # every checkpoint_every iterations (RNG-exact resume).
     loop_checkpoint: str = ""
     checkpoint_every: int = 1
+    # Supervised restarts (utils/resilience.py): on a retryable runtime
+    # failure (device halt, preemption, transient IO) the driver rebuilds
+    # the loop and resumes from loop_checkpoint, at most this many times.
+    # Requires loop_checkpoint; 0 disables supervision.
+    max_restarts: int = 0
     # Pairs per fused selection-chunk dispatch.  Measured tradeoff
     # (BENCHMARKS.md "ResNet50 batch-size curve"): VGGFace-ResNet50's
     # per-image throughput FALLS with batch (71.8 TF/s at image batch

@@ -133,23 +133,41 @@ def run_alink(
     )
 
     # Framework loop (ALINK.py:145-259).
-    replay = common.replay_generator(config.seed + 2, data.plain_feats,
-                                     data.imp_feats, config.batch_size)
     adv = (make_adversarial_predict(featurize)
            if "adversarial" in config.noise else None)
-    loop = ALinkLoop(
-        config,
-        pool_uint8=True,
-        featurize=featurize,
-        committee=committee,
-        m2_state=m2,
-        replay_gen=replay,
-        adversarial_predict=adv,
-        key=next(keys),
-    )
-    state = loop.run(data.plain_raw, dig_post_raw,
-                     checkpoint_path=config.loop_checkpoint or None,
-                     checkpoint_every=config.checkpoint_every)
+    loop_key = next(keys)
+
+    def attempt(attempt_idx: int) -> ALinkState:
+        # A fresh replay generator per attempt: the loop's RNG-exact
+        # restore fast-forwards it to the checkpointed position, which a
+        # partially consumed generator from a failed attempt cannot
+        # rewind to (utils/resilience.py).
+        replay = common.replay_generator(config.seed + 2, data.plain_feats,
+                                         data.imp_feats, config.batch_size)
+        loop = ALinkLoop(
+            config,
+            pool_uint8=True,
+            featurize=featurize,
+            committee=committee,
+            m2_state=m2,
+            replay_gen=replay,
+            adversarial_predict=adv,
+            key=loop_key,
+        )
+        return loop.run(data.plain_raw, dig_post_raw,
+                        checkpoint_path=config.loop_checkpoint or None,
+                        checkpoint_every=config.checkpoint_every)
+
+    if config.max_restarts > 0:
+        # Supervised restarts (SURVEY.md section 5.3): retryable runtime
+        # faults resume from loop_checkpoint with the trajectory intact.
+        if not config.loop_checkpoint:
+            raise ValueError("max_restarts requires loop_checkpoint")
+        from alink_tpu.utils import run_with_retries
+
+        state = run_with_retries(attempt, max_restarts=config.max_restarts)
+    else:
+        state = attempt(0)
     print(f">> Active Count: {state.active_count} out of {state.un_size}")
     T.save(config.out_model, state.m2_state.params)
     return state

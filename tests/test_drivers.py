@@ -109,6 +109,58 @@ class TestALinkDriver:
         assert state.un_size > 0
         assert os.path.isdir(cfg.out_model)
 
+    def test_max_restarts_requires_checkpoint(self, dfw_root, tmp_path):
+        cfg = parse_config(
+            [],
+            data_dir_prefix=dfw_root,
+            out_model=os.path.join(str(tmp_path), "post"),
+            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
+            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
+            noise=("gaussian",),
+            image_res=(SIZE, SIZE), feature_res=FDIM,
+            dig_epochs=1, undig_epochs=1, ft_epochs=1,
+            alink_bs=2, batch_send=4, batch_size=8,
+            max_restarts=2,  # but no loop_checkpoint
+        )
+        with pytest.raises(ValueError, match="loop_checkpoint"):
+            run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+
+    def test_supervised_restart_completes(self, dfw_root, tmp_path,
+                                          monkeypatch):
+        """max_restarts + loop_checkpoint: an injected device fault on
+        the first attempt is survived; the rebuilt loop resumes from the
+        checkpoint and the run completes (SURVEY.md section 5.3)."""
+        from alink_tpu.active.loop import ALinkLoop
+
+        orig = ALinkLoop.run_iteration
+        calls = {"n": 0}
+
+        def flaky(self, *args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 2:  # after the first checkpointed slab
+                raise RuntimeError("injected device halt")
+            return orig(self, *args, **kwargs)
+
+        monkeypatch.setattr(ALinkLoop, "run_iteration", flaky)
+        cfg = parse_config(
+            [],
+            data_dir_prefix=dfw_root,
+            out_model=os.path.join(str(tmp_path), "post"),
+            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
+            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
+            noise=("gaussian",),
+            image_res=(SIZE, SIZE), feature_res=FDIM,
+            dig_epochs=1, undig_epochs=1, ft_epochs=1,
+            alink_bs=2, batch_send=4, batch_size=8,
+            disparity_ratio=0.9, eps=0.01,
+            loop_checkpoint=os.path.join(str(tmp_path), "loop_ck"),
+            max_restarts=2,
+        )
+        state = run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+        assert calls["n"] >= 3  # failed attempt + resumed completion
+        assert state.un_size > 0
+        assert os.path.isdir(cfg.out_model)
+
     def test_reload_skips_training(self, dfw_root, tmp_path):
         """Second run must load the staged models (maybeLoadFromMemory)."""
         kwargs = dict(
