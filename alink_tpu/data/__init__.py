@@ -33,3 +33,7 @@ from alink_tpu.data.pairs import (  # noqa: F401
     split_disguise_data,
 )
 from alink_tpu.data.synth import make_synthetic_dfw, make_synthetic_mtp  # noqa: F401
+from alink_tpu.data.prefetch import (  # noqa: F401
+    DevicePrefetcher,
+    prefetch_to_device,
+)

@@ -1,0 +1,121 @@
+"""Device-feed prefetching: overlap host decode/transfer with compute.
+
+Greenfield (SURVEY.md section 2.2's data layer): the reference feeds
+Keras from in-memory NumPy arrays — no streaming path at all.  Here the
+pool-resident A-LINK loop also needs no streaming, but two production
+surfaces do: epoch training over datasets larger than host memory, and
+the serving ingest path.  On TPU the host->device transfer and the
+JPEG decode are the only parts of the pipeline XLA cannot overlap for
+you — a dispatch-ahead queue does it at the framework level.
+
+``DevicePrefetcher`` wraps any host batch iterator with a background
+thread that stays ``depth`` batches ahead, calling ``jax.device_put``
+(optionally with a ``Sharding``) so each batch's transfer is in flight
+while the previous batch computes.  Order is preserved, iterator
+exceptions re-raise at the consumer, and the queue bounds host memory
+to ``depth`` batches.
+
+Typical use::
+
+    batches = DevicePrefetcher(decode_batches(paths), depth=2)
+    for x in batches:
+        state = train_step(state, x)   # transfer of the next x overlaps
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+
+
+class DevicePrefetcher:
+    """Background-thread batch prefetcher with device placement.
+
+    Args:
+        iterable: source of host batches (any pytrees).
+        depth: batches to stay ahead (>=1).  2 double-buffers: one batch
+            computing, one in flight.
+        sharding: optional ``jax.sharding.Sharding`` (or a pytree prefix
+            of shardings) passed to ``device_put`` — e.g. a
+            ``NamedSharding(mesh, P('data'))`` to land each batch
+            already sharded over the mesh.
+        transfer: override the placement fn (defaults to
+            ``jax.device_put``); ``None`` disables placement (useful for
+            tests and CPU pipelines — the thread still overlaps the
+            source's own decode work).
+    """
+
+    def __init__(
+        self,
+        iterable: Iterable[Any],
+        depth: int = 2,
+        sharding=None,
+        transfer: Callable[[Any], Any] | None = jax.device_put,
+    ):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._transfer = transfer
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._worker, args=(iter(iterable),), daemon=True)
+        self._thread.start()
+
+    # Sentinels (private instances so user values can never collide).
+    _DONE = object()
+
+    def _worker(self, it: Iterator[Any]) -> None:
+        try:
+            for item in it:
+                if self._transfer is not None:
+                    item = (jax.device_put(item, self._sharding)
+                            if self._sharding is not None
+                            else self._transfer(item))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            self._q.put(self._DONE)
+        except BaseException as exc:  # noqa: BLE001 — re-raised at consumer
+            self._q.put(exc)
+
+    def __iter__(self) -> "DevicePrefetcher":
+        return self
+
+    def __next__(self) -> Any:
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self) -> None:
+        """Stop the worker (for abandoning an iteration early)."""
+        self._stop.set()
+        # Drain so a worker blocked on put() can see the stop flag.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "DevicePrefetcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def prefetch_to_device(iterable, depth: int = 2, sharding=None):
+    """Functional spelling of ``DevicePrefetcher`` (flax idiom)."""
+    return DevicePrefetcher(iterable, depth=depth, sharding=sharding)

@@ -1,0 +1,100 @@
+"""Tests for data/prefetch.py (device-feed prefetching)."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alink_tpu.data import DevicePrefetcher, prefetch_to_device
+
+
+class TestDevicePrefetcher:
+    def test_order_preserved(self):
+        src = [np.full((4,), i, np.float32) for i in range(10)]
+        out = list(DevicePrefetcher(iter(src), depth=3))
+        assert len(out) == 10
+        for i, x in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(x), src[i])
+
+    def test_device_placement(self):
+        out = list(DevicePrefetcher([np.ones((2, 2), np.float32)]))
+        assert isinstance(out[0], jnp.ndarray)
+
+    def test_pytree_batches(self):
+        src = [{"x": np.ones((2,)), "y": (np.zeros((1,)), i)}
+               for i in range(3)]
+        out = list(DevicePrefetcher(iter(src)))
+        assert out[2]["y"][1] == 2
+        np.testing.assert_array_equal(np.asarray(out[0]["x"]), [1.0, 1.0])
+
+    def test_exception_propagates(self):
+        def gen():
+            yield np.zeros((1,))
+            raise RuntimeError("decode failed")
+
+        it = DevicePrefetcher(gen())
+        next(it)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
+
+    def test_depth_bounds_readahead(self):
+        produced = []
+
+        def gen():
+            for i in range(100):
+                produced.append(i)
+                yield np.full((1,), i, np.float32)
+
+        it = DevicePrefetcher(gen(), depth=2)
+        time.sleep(0.3)  # give the worker time to run ahead
+        # queue(depth=2) + one item the worker holds while blocked on put.
+        assert len(produced) <= 4
+        next(it)
+        it.close()
+
+    def test_close_stops_worker(self):
+        def gen():
+            i = 0
+            while True:  # infinite source
+                yield np.full((1,), i, np.float32)
+                i += 1
+
+        it = DevicePrefetcher(gen(), depth=1)
+        next(it)
+        it.close()
+        assert not it._thread.is_alive()
+
+    def test_context_manager(self):
+        with prefetch_to_device([np.ones((1,))] * 3, depth=1) as it:
+            first = next(it)
+        np.testing.assert_array_equal(np.asarray(first), [1.0])
+
+    def test_empty_source(self):
+        assert list(DevicePrefetcher([])) == []
+
+    def test_depth_validation(self):
+        with pytest.raises(ValueError):
+            DevicePrefetcher([], depth=0)
+
+    def test_overlap_actually_happens(self):
+        """While the consumer sleeps on batch i, the worker must already
+        be producing batch i+1 (the whole point of the prefetcher)."""
+        events = []
+        lock = threading.Lock()
+
+        def gen():
+            for i in range(4):
+                with lock:
+                    events.append(("produce", i))
+                yield np.full((1,), i, np.float32)
+
+        it = DevicePrefetcher(gen(), depth=2)
+        first = next(it)
+        time.sleep(0.2)  # "compute" on first
+        with lock:
+            ahead = [e for e in events if e[0] == "produce"]
+        # More than one batch produced while we held the first.
+        assert len(ahead) >= 2
+        list(it)
