@@ -11,6 +11,8 @@ import pytest
     "benchmarks.bench_attack",
     "benchmarks.bench_selection",
     "benchmarks.bench_int8_conv",
+    "benchmarks.bench_pipeline_sweep",
+    "benchmarks.exp_pipeline_prefix",
 ])
 def test_imports(mod):
     m = importlib.import_module(mod)
