@@ -580,6 +580,8 @@ class ALinkLoop:
         dig_post: PersonStacks,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 1,
+        heartbeat=None,
+        heartbeat_timeout_s: float = 600.0,
     ) -> ALinkState:
         """The framework loop over the unlabeled pool (ALINK.py:145-259).
 
@@ -589,6 +591,12 @@ class ALinkLoop:
         iteration and checkpoint every ``checkpoint_every`` iterations.
         The checkpoint includes the RNG key, so a resumed run reproduces
         the uninterrupted trajectory exactly.
+
+        ``heartbeat`` (a ``utils.resilience.Heartbeat``) makes multi-host
+        runs fail fast: each iteration beats this process's beacon and
+        raises ``PeerFailure`` if a peer has missed
+        ``heartbeat_timeout_s`` — surfacing a dead host to the
+        supervisor instead of blocking forever in the next collective.
         """
         cfg = self.config
         if checkpoint_path:
@@ -608,6 +616,9 @@ class ALinkLoop:
                 <= self.state.active_count):  # ALINK.py:257-259
             ii = self.state.pool_cursor
             sl = list(range(ii, min(ii + cfg.alink_bs, p)))
+            if heartbeat is not None:
+                heartbeat.beat()
+                heartbeat.ensure_peers_alive(heartbeat_timeout_s)
             self.run_iteration(plain_raw.take_people(sl),
                                dig_post.take_people(sl))
             self.state.pool_cursor = ii + cfg.alink_bs

@@ -78,6 +78,40 @@ class TestDevicePrefetcher:
         with pytest.raises(ValueError):
             DevicePrefetcher([], depth=0)
 
+    def test_custom_train_through_prefetcher_is_exact(self):
+        """Epoch training composes with the prefetcher and — because
+        order is preserved — produces the identical trajectory."""
+        import jax
+        from alink_tpu import train as T
+        from alink_tpu.models import SiameseHead
+
+        d = 16
+        head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
+
+        def gen():
+            rng = np.random.default_rng(0)
+            while True:
+                yield ((rng.random((8, d)).astype(np.float32),
+                        rng.random((8, d)).astype(np.float32)),
+                       (rng.random(8) > 0.5).astype(np.int32))
+
+        def train(data_iter):
+            state = T.create_train_state(
+                head, jax.random.PRNGKey(0), np.zeros((2, d)),
+                np.zeros((2, d)))
+            state, logs = T.custom_train(
+                state, data_iter, epochs=1, batch_size=8,
+                key=jax.random.PRNGKey(1), n_steps=24)
+            return state, logs
+
+        s_raw, l_raw = train(gen())
+        with prefetch_to_device(gen(), depth=2) as it:
+            s_pre, l_pre = train(it)
+        assert l_raw[0].train_loss == l_pre[0].train_loss
+        for a, b in zip(jax.tree.leaves(s_raw.params),
+                        jax.tree.leaves(s_pre.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_overlap_actually_happens(self):
         """While the consumer sleeps on batch i, the worker must already
         be producing batch i+1 (the whole point of the prefetcher)."""

@@ -178,6 +178,30 @@ class TestLoopSupervision:
                                        atol=1e-6)
 
 
+class TestLoopHeartbeat:
+    def test_dead_peer_fails_fast(self, tmp_path):
+        """run(heartbeat=) surfaces a dead peer as PeerFailure instead of
+        letting the next collective block forever."""
+        helper = TestLoopSupervision()
+        loop, plain, dig = helper._setup()
+        hb = Heartbeat(str(tmp_path), 0, 2)
+        # Peer 1 beat long ago and died.
+        stale = time.time() - 1200.0
+        peer = os.path.join(str(tmp_path), "heartbeat_1")
+        open(peer, "w").close()
+        os.utime(peer, (stale, stale))
+        with pytest.raises(PeerFailure):
+            loop.run(plain, dig, heartbeat=hb, heartbeat_timeout_s=600.0)
+
+    def test_live_peers_complete(self, tmp_path):
+        helper = TestLoopSupervision()
+        loop, plain, dig = helper._setup()
+        hb = Heartbeat(str(tmp_path), 0, 1)  # single process: no peers
+        state = loop.run(plain, dig, heartbeat=hb)
+        assert state.un_size > 0
+        assert hb.last_seen(0) is not None
+
+
 class TestHeartbeat:
     def test_beat_and_check(self, tmp_path):
         d = str(tmp_path)
