@@ -108,6 +108,12 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5.0)
+        # A consumer that keeps iterating after close() must terminate,
+        # not block on an empty queue.
+        try:
+            self._q.put_nowait(self._DONE)
+        except queue.Full:
+            pass
 
     def __enter__(self) -> "DevicePrefetcher":
         return self

@@ -66,6 +66,14 @@ class TestDevicePrefetcher:
         it.close()
         assert not it._thread.is_alive()
 
+    def test_next_after_close_stops(self):
+        it = DevicePrefetcher(iter([np.ones((1,))] * 5), depth=1)
+        next(it)
+        it.close()
+        with pytest.raises(StopIteration):
+            while True:
+                next(it)
+
     def test_context_manager(self):
         with prefetch_to_device([np.ones((1,))] * 3, depth=1) as it:
             first = next(it)
