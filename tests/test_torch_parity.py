@@ -163,9 +163,14 @@ class TorchIRUnit(tnn.Module):
 
 
 class TorchArcFaceTiny(tnn.Module):
-    """ArcFaceResNet100 topology at stage_sizes (1, 1, 1, 1)."""
+    """ArcFaceResNet100 topology at stage_sizes (1, 1, 1, 1).
 
-    def __init__(self, embed=32):
+    ``with_fc1_bn`` adds the real model's fc1 output BatchNorm1d
+    (face_model.py:28-41's ``fc1`` layer) so the converter's
+    fold-into-affine formula can be validated against torch.
+    """
+
+    def __init__(self, embed=32, with_fc1_bn=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 3, padding=1, bias=False)
         self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
@@ -178,6 +183,8 @@ class TorchArcFaceTiny(tnn.Module):
         self.units = tnn.ModuleList(units)
         self.bn_out = tnn.BatchNorm2d(512, eps=1e-5)
         self.fc = tnn.Linear(512 * 7 * 7, embed)
+        self.bn_fc1 = tnn.BatchNorm1d(embed, eps=2e-5) if with_fc1_bn \
+            else None
 
     def forward(self, x):
         x = self.prelu(self.bn1(self.conv1(x)))
@@ -187,6 +194,8 @@ class TorchArcFaceTiny(tnn.Module):
         # Flax flattens NHWC; match that ordering: NCHW -> NHWC -> flat.
         x = x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
         x = self.fc(x)
+        if self.bn_fc1 is not None:
+            x = self.bn_fc1(x)
         return torch.nn.functional.normalize(x, dim=-1)
 
 
@@ -194,23 +203,19 @@ def _port_prelu(tp):
     return {"alpha": jnp.asarray(tp.weight.detach().numpy())}
 
 
-def test_arcface_ir_topology_matches_torch():
-    from alink_tpu.models import ArcFaceResNet100
-
-    torch.manual_seed(1)
-    tm = TorchArcFaceTiny().eval()
+def _randomize_bn_stats(tm, seed=1):
+    torch.manual_seed(seed)
     with torch.no_grad():
         for m in tm.modules():
-            if isinstance(m, tnn.BatchNorm2d):
+            if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
                 m.running_mean.normal_(0, 0.3)
                 m.running_var.uniform_(0.5, 2.0)
                 m.weight.normal_(1.0, 0.2)
                 m.bias.normal_(0, 0.2)
 
-    model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
-                             dtype=jnp.float32)
-    init = model.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 112, 112, 3), jnp.float32))
+
+def _port_arcface_tiny(tm, model, init):
+    """Port TorchArcFaceTiny weights onto ArcFaceResNet100 params."""
     p = dict(init["params"])
     p["Conv_0"] = {"kernel": _port_conv(tm.conv1)}
     p["_FrozenBN_0"] = _port_bn(tm.bn1)
@@ -233,13 +238,61 @@ def test_arcface_ir_topology_matches_torch():
         "kernel": jnp.asarray(tm.fc.weight.detach().numpy().T),
         "bias": jnp.asarray(tm.fc.bias.detach().numpy()),
     }
-    # fc1 output BN is identity in the torch mirror.
-    p["fc1_gamma"] = jnp.ones_like(init["params"]["fc1_gamma"])
-    p["fc1_beta"] = jnp.zeros_like(init["params"]["fc1_beta"])
-    params = {"params": p}
+    if tm.bn_fc1 is None:
+        # No output BN in the mirror: the model's affine is identity.
+        p["fc1_gamma"] = jnp.ones_like(init["params"]["fc1_gamma"])
+        p["fc1_beta"] = jnp.zeros_like(init["params"]["fc1_beta"])
+    else:
+        # The converter's fold (tools/convert_mxnet.py:247-252):
+        # gamma' = g / sqrt(v + eps), beta' = b - m * gamma'.
+        bn = tm.bn_fc1
+        g = bn.weight.detach().numpy()
+        b = bn.bias.detach().numpy()
+        m = bn.running_mean.detach().numpy()
+        v = bn.running_var.detach().numpy()
+        scale = g / np.sqrt(v + bn.eps)
+        p["fc1_gamma"] = jnp.asarray(scale, jnp.float32)
+        p["fc1_beta"] = jnp.asarray(b - m * scale, jnp.float32)
+    return {"params": p}
+
+
+def test_arcface_ir_topology_matches_torch():
+    from alink_tpu.models import ArcFaceResNet100
+
+    tm = TorchArcFaceTiny().eval()
+    _randomize_bn_stats(tm)
+    model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
+                             dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 112, 112, 3), jnp.float32))
+    params = _port_arcface_tiny(tm, model, init)
     assert jax.tree.structure(params) == jax.tree.structure(init)
 
     x = np.random.default_rng(1).uniform(0, 255, (2, 112, 112, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_arcface_fc1_bn_fold_matches_torch():
+    """The real LResNet100E-II ends Dense -> BatchNorm1d -> L2
+    (face_model.py:28-41); the flax model carries the BN as a folded
+    affine.  Validate the converter's fold formula against torch's
+    BatchNorm1d with random running stats — the identity-BN shortcut of
+    the topology test never exercises it."""
+    from alink_tpu.models import ArcFaceResNet100
+
+    tm = TorchArcFaceTiny(with_fc1_bn=True).eval()
+    _randomize_bn_stats(tm, seed=3)
+    model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
+                             dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 112, 112, 3), jnp.float32))
+    params = _port_arcface_tiny(tm, model, init)
+
+    x = np.random.default_rng(2).uniform(0, 255, (2, 112, 112, 3)).astype(
         np.float32)
     with torch.no_grad():
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
