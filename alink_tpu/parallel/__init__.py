@@ -8,8 +8,9 @@ The reference has no parallelism of any kind: one TF session on one GPU
 
 - ``data``     — batch / pair-pool sharding (DP for training & embedding,
   row-sharding for the all-pairs score matrix),
-- ``model``    — committee/ensemble parallelism and column-sharding of the
-  pairwise grid.
+- ``model``    — committee/ensemble parallelism, column-sharding of the
+  pairwise grid, and Megatron-style tensor parallelism of the ArcFace
+  embedder (``tp.py``) for latency-bound serving.
 
 Collectives ride ICI via ``psum``/``all_gather`` inserted by XLA from
 sharding annotations; no NCCL/MPI analog is needed or wanted.
@@ -33,4 +34,8 @@ from alink_tpu.parallel.ops import (  # noqa: F401
     sharded_committee_probs,
     sharded_face_pipeline,
     sharded_featurize,
+)
+from alink_tpu.parallel.tp import (  # noqa: F401
+    arcface_tp_apply,
+    tp_param_specs,
 )

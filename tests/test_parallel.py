@@ -67,6 +67,50 @@ class TestShardedOps:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4)
 
+    def test_arcface_tensor_parallel_matches_local(self, mesh8):
+        """Megatron-split IR units over the model axis must equal the
+        single-device forward (one psum per unit; parallel/tp.py)."""
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel.tp import arcface_tp_apply, tp_param_specs
+
+        stage_sizes = (1, 1, 1, 1)
+        model = ArcFaceResNet100(stage_sizes=stage_sizes,
+                                 embedding_dim=32, dtype=jnp.float32)
+        # 56x56 input keeps the CPU-mesh conv cost small; the topology
+        # (strides, widths, head) is the production one.
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 56, 56, 3), jnp.float32))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 56, 56, 3),
+                               jnp.float32, 0.0, 255.0)
+        want = model.apply(params, x)
+        got = arcface_tp_apply(mesh8, params, x, stage_sizes=stage_sizes,
+                               dtype=jnp.float32)
+        assert got.shape == want.shape
+        # Only the psum's cross-block summation order differs.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_tp_param_specs_shard_the_right_leaves(self):
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel.tp import tp_param_specs
+        from jax.sharding import PartitionSpec as P
+
+        model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1),
+                                 embedding_dim=16, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 56, 56, 3), jnp.float32))
+        specs = tp_param_specs(params)
+        unit = specs["params"]["_IRUnit_0"]
+        assert unit["Conv_0"]["kernel"] == P(None, None, None, "model")
+        assert unit["Conv_1"]["kernel"] == P(None, None, "model", None)
+        assert unit["_FrozenBN_1"]["gamma"] == P("model")
+        assert unit["_PReLU_0"]["alpha"] == P("model")
+        # Full-channel pieces stay replicated.
+        assert unit["_FrozenBN_0"]["gamma"] == P()
+        assert unit["_FrozenBN_2"]["gamma"] == P()
+        assert specs["params"]["Conv_0"]["kernel"] == P()
+        assert specs["params"]["Dense_0"]["kernel"] == P()
+
     def test_sharded_committee_matches_vmap(self, mesh8):
         head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
         d = 16
