@@ -39,3 +39,4 @@ from alink_tpu.parallel.tp import (  # noqa: F401
     arcface_tp_apply,
     tp_param_specs,
 )
+from alink_tpu.parallel.pp import arcface_pp_apply  # noqa: F401

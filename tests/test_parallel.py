@@ -90,6 +90,49 @@ class TestShardedOps:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_arcface_pipeline_parallel_matches_local(self, mesh8):
+        """2-rank GPipe schedule over the model axis (parallel/pp.py)
+        must equal the single-device forward."""
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel.pp import arcface_pp_apply, boundary_shape
+
+        stage_sizes = (1, 1, 1, 1)
+        model = ArcFaceResNet100(stage_sizes=stage_sizes,
+                                 embedding_dim=16, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 112, 112, 3), jnp.float32))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 112, 112, 3),
+                               jnp.float32, 0.0, 255.0)
+        want = model.apply(params, x)
+        got = arcface_pp_apply(mesh8, params, x, stage_sizes=stage_sizes,
+                               microbatches=2, dtype=jnp.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        # Static boundary bookkeeping: unit 1 of the tiny model ends at
+        # 28x28x128.
+        assert boundary_shape(1, 112, stage_sizes) == (28, 128)
+
+    def test_pp_validation_errors(self, mesh8):
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel import create_mesh
+        from alink_tpu.parallel.pp import arcface_pp_apply
+
+        model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1),
+                                 embedding_dim=16, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 112, 112, 3), jnp.float32))
+        x = jnp.zeros((8, 112, 112, 3), jnp.float32)
+        with pytest.raises(ValueError, match="2 ranks"):
+            arcface_pp_apply(create_mesh((8, 1)), params, x,
+                             stage_sizes=(1, 1, 1, 1))
+        with pytest.raises(ValueError, match="divide"):
+            arcface_pp_apply(mesh8, params, x, stage_sizes=(1, 1, 1, 1),
+                             microbatches=3)
+        with pytest.raises(ValueError, match="both ranks"):
+            arcface_pp_apply(mesh8, params, x, stage_sizes=(1, 1, 1, 1),
+                             microbatches=2, split_after_unit=3)
+
     def test_tp_param_specs_shard_the_right_leaves(self):
         from alink_tpu.models import ArcFaceResNet100
         from alink_tpu.parallel.tp import tp_param_specs
