@@ -57,6 +57,36 @@ def _timed_chain(fn, x, iters):
     return max(time.perf_counter() - t0 - overhead, 1e-9) / iters
 
 
+def _backend_watchdog(timeout_s: float = 600.0):
+    """Emit an explicit error record if backend *init* hangs.
+
+    A dead remote-device tunnel blocks ``jax.devices()`` forever (seen
+    live: >10 min with no error), which would leave the driver's bench
+    step with no output at all.  The watchdog covers only backend
+    bring-up — compiles can legitimately take minutes and must not trip
+    it.  Returns a cancel() fn to call once devices() has returned.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "detect_align_embed_throughput",
+                "value": 0.0,
+                "unit": "faces/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"device backend init exceeded {timeout_s:.0f}s "
+                         "(tunnel unavailable)",
+            }), flush=True)
+            import os
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main() -> None:
     try:
         # Persistent compile cache: repeated driver runs skip the ~minutes
@@ -65,6 +95,10 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    cancel_watchdog = _backend_watchdog()
+    jax.devices()  # force backend bring-up under the watchdog
+    cancel_watchdog()
 
     from alink_tpu.detect import CascadeConfig, FaceModel, init_cascade_params
     from alink_tpu.models import ArcFaceResNet100
