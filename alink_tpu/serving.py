@@ -12,18 +12,129 @@ device-resident gallery.
   pairwise engine.
 - ``score_matrix``  — all-pairs scores for offline evaluation, sharded
   over a mesh when one is supplied.
+- ``MicroBatcher``  — dynamic request batching: concurrent single-image
+  requests coalesce into one bucketed device call.
 
 Everything batches; per-call work is jit-cached by shape.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
 from alink_tpu.ops import pairwise
+
+
+class MicroBatcher:
+    """Dynamic request batching with shape buckets (TPU serving idiom).
+
+    Single requests are the reference's serving reality (one image per
+    ``predict`` call); on TPU per-call dispatch wastes the chip and
+    every new batch shape triggers a fresh XLA compile.  This batcher
+    coalesces concurrent ``submit`` calls into one device call:
+
+    - requests queue until ``max_batch`` are waiting or ``max_delay_s``
+      has passed since the oldest arrived;
+    - the batch pads up to a power-of-two *bucket* (bounded compile
+      cache: at most log2(max_batch)+1 shapes ever compile);
+    - one worker thread calls ``fn`` on the padded batch and fans
+      results back out to per-request futures (padding rows are
+      discarded);
+    - an ``fn`` failure propagates to every future in that batch.
+
+    Args:
+        fn: batched model call, ``(N, ...) array -> (N, ...) results``
+            (e.g. ``Verifier.embed`` or ``FaceModel.process``).
+        max_batch: largest device batch (and largest bucket).
+        max_delay_s: latency budget a lone request waits for company.
+    """
+
+    def __init__(self, fn: Callable, max_batch: int = 64,
+                 max_delay_s: float = 0.005):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_s
+        self.buckets = []
+        b = 1
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        """Enqueue one request; the Future resolves to its result row."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def __call__(self, item):
+        """Blocking convenience: submit + wait."""
+        return self.submit(item).result()
+
+    def _drain(self, first):
+        """Collect up to max_batch requests within the delay window."""
+        import time
+
+        batch = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-signal shutdown for the outer loop
+                break
+            batch.append(nxt)
+        return batch
+
+    def _worker(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = self._drain(first)
+            items = [np.asarray(it) for it, _ in batch]
+            n = len(items)
+            bucket = next(b for b in self.buckets if b >= n)
+            padded = np.stack(items + [items[-1]] * (bucket - n))
+            try:
+                out = np.asarray(self.fn(padded))
+            except Exception as exc:  # noqa: BLE001 — fan out to futures
+                for _, fut in batch:
+                    fut.set_exception(exc)
+                continue
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result(out[i])
+
+    def close(self) -> None:
+        """Flush pending requests and stop the worker."""
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=30.0)
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 class Verifier:

@@ -88,3 +88,72 @@ class TestScoreMatrix:
                      mesh=mesh8)
         m = v.score_matrix(_faces(8, 9))
         assert m.shape == (9, 9)
+
+
+class TestMicroBatcher:
+    def test_results_match_direct_call(self):
+        from alink_tpu.serving import MicroBatcher
+
+        fn = lambda x: x * 2.0 + 1.0  # noqa: E731
+        with MicroBatcher(fn, max_batch=8, max_delay_s=0.02) as mb:
+            futs = [mb.submit(np.full((3,), i, np.float32))
+                    for i in range(5)]
+            for i, f in enumerate(futs):
+                np.testing.assert_allclose(f.result(timeout=10.0),
+                                           np.full((3,), 2.0 * i + 1.0))
+
+    def test_coalesces_into_buckets(self):
+        from alink_tpu.serving import MicroBatcher
+
+        shapes = []
+
+        def fn(x):
+            shapes.append(x.shape[0])
+            return x
+
+        with MicroBatcher(fn, max_batch=8, max_delay_s=0.1) as mb:
+            futs = [mb.submit(np.zeros((2,), np.float32)) for _ in range(5)]
+            [f.result(timeout=10.0) for f in futs]
+        # 5 concurrent requests -> one call at the 8-bucket (or a first
+        # singleton the worker grabbed before the rest arrived).
+        assert all(s in (1, 2, 4, 8) for s in shapes)
+        assert sum(shapes) >= 5
+        assert len(shapes) <= 3
+
+    def test_lone_request_flushes_on_deadline(self):
+        from alink_tpu.serving import MicroBatcher
+
+        with MicroBatcher(lambda x: x, max_batch=64,
+                          max_delay_s=0.01) as mb:
+            out = mb(np.ones((2,), np.float32))
+        np.testing.assert_allclose(out, [1.0, 1.0])
+
+    def test_error_propagates_to_futures(self):
+        from alink_tpu.serving import MicroBatcher
+
+        def boom(x):
+            raise RuntimeError("model fell over")
+
+        with MicroBatcher(boom, max_batch=4, max_delay_s=0.01) as mb:
+            fut = mb.submit(np.zeros((1,), np.float32))
+            with pytest.raises(RuntimeError, match="fell over"):
+                fut.result(timeout=10.0)
+
+    def test_submit_after_close_raises(self):
+        from alink_tpu.serving import MicroBatcher
+
+        mb = MicroBatcher(lambda x: x)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(np.zeros((1,), np.float32))
+
+    def test_through_verifier_embed(self, verifier):
+        from alink_tpu.serving import MicroBatcher
+
+        faces = _faces(11, 4)
+        with MicroBatcher(verifier.embed, max_batch=4,
+                          max_delay_s=0.05) as mb:
+            futs = [mb.submit(np.asarray(faces[i])) for i in range(4)]
+            got = np.stack([f.result(timeout=30.0) for f in futs])
+        want = np.asarray(verifier.embed(faces))
+        np.testing.assert_allclose(got, want, atol=1e-5)
