@@ -106,6 +106,10 @@ class ALinkConfig:
             raise ValueError("disparity_ratio must be in [0, 1]")
         if not (0.0 <= self.eps < 0.5):  # ALINK.py:76
             raise ValueError("eps must be in [0, 0.5)")
+        if self.max_restarts > 0 and not self.loop_checkpoint:
+            # Fail at config time, not hours later after data staging
+            # and model pretraining (drivers/alink.py runs those first).
+            raise ValueError("max_restarts requires loop_checkpoint")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,7 +45,8 @@ class DevicePrefetcher:
         transfer: override the placement fn (defaults to
             ``jax.device_put``); ``None`` disables placement (useful for
             tests and CPU pipelines — the thread still overlaps the
-            source's own decode work).
+            source's own decode work).  Mutually exclusive with
+            ``sharding``: a custom transfer owns placement entirely.
     """
 
     def __init__(
@@ -57,6 +58,11 @@ class DevicePrefetcher:
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        if sharding is not None and transfer is not jax.device_put:
+            # Honouring both is ambiguous (whose placement wins?); make
+            # the caller choose instead of silently dropping one.
+            raise ValueError("pass either sharding or a custom transfer,"
+                             " not both")
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._transfer = transfer

@@ -90,6 +90,7 @@ def arcface_pp_apply(
     images: jnp.ndarray,
     *,
     stage_sizes=(3, 13, 30, 3),
+    stage_widths=(64, 128, 256, 512),
     split_after_unit: int | None = None,
     microbatches: int = 4,
     dtype: jnp.dtype = jnp.bfloat16,
@@ -107,9 +108,9 @@ def arcface_pp_apply(
     n_units = len(strides)
     if split_after_unit is None:
         # FLOP midpoint: per-unit cost ~ hw^2 * c^2 at its stage.
-        widths = [w for blocks, w in zip(stage_sizes, (64, 128, 256, 512))
+        widths = [w for blocks, w in zip(stage_sizes, stage_widths)
                   for _ in range(blocks)]
-        hw, costs = 112, []
+        hw, costs = images.shape[1], []
         for s, w in zip(strides, widths):
             hw //= s
             costs.append(hw * hw * w * w)
@@ -129,7 +130,8 @@ def arcface_pp_apply(
             f"batch {n} must divide data axis {nd} x microbatches "
             f"{microbatches}")
     mb = n // nd // microbatches
-    bhw, bc = boundary_shape(split_after_unit, images.shape[1], stage_sizes)
+    bhw, bc = boundary_shape(split_after_unit, images.shape[1],
+                             stage_sizes, stage_widths)
     p = params["params"] if "params" in params else params
     embed_dim = p["fc1_gamma"].shape[0]
 

@@ -70,15 +70,20 @@ class MicroBatcher:
         self.buckets.append(max_batch)
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # Guards the closed-flag/enqueue pair: without it a submit()
+        # racing close() could land its request BEHIND the shutdown
+        # sentinel and leave its Future unresolved forever.
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit(self, item) -> Future:
         """Enqueue one request; the Future resolves to its result row."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((item, fut))
         return fut
 
     def __call__(self, item):
@@ -111,23 +116,34 @@ class MicroBatcher:
             if first is None:
                 return
             batch = self._drain(first)
-            items = [np.asarray(it) for it, _ in batch]
-            n = len(items)
-            bucket = next(b for b in self.buckets if b >= n)
-            padded = np.stack(items + [items[-1]] * (bucket - n))
+            # EVERYTHING per-batch stays inside the guard: a stacking
+            # error (mismatched request shapes), a short fn result, or a
+            # cancelled Future must fail that batch's futures — never
+            # kill the worker thread (which would wedge every later
+            # submit forever).
             try:
+                items = [np.asarray(it) for it, _ in batch]
+                n = len(items)
+                bucket = next(b for b in self.buckets if b >= n)
+                padded = np.stack(items + [items[-1]] * (bucket - n))
                 out = np.asarray(self.fn(padded))
+                results = [out[i] for i in range(n)]
             except Exception as exc:  # noqa: BLE001 — fan out to futures
                 for _, fut in batch:
-                    fut.set_exception(exc)
+                    if not fut.cancelled():
+                        fut.set_exception(exc)
                 continue
-            for i, (_, fut) in enumerate(batch):
-                fut.set_result(out[i])
+            for res, (_, fut) in zip(results, batch):
+                if not fut.cancelled():
+                    fut.set_result(res)
 
     def close(self) -> None:
         """Flush pending requests and stop the worker."""
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=30.0)
 
     def __enter__(self) -> "MicroBatcher":

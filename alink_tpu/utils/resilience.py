@@ -53,10 +53,13 @@ class PeerFailure(RuntimeError):
 RETRYABLE: tuple[type[BaseException], ...] = (RuntimeError, OSError)
 
 #: Never retry these even though they subclass a retryable type:
-#: deterministic program bugs re-raise identically on every attempt.
+#: deterministic program bugs re-raise identically on every attempt,
+#: and a dead peer (PeerFailure) can only be healed by a job-level
+#: restart — retrying in-process would just burn the restart budget.
 FATAL: tuple[type[BaseException], ...] = (
     NotImplementedError,
     RecursionError,
+    PeerFailure,
 )
 
 
@@ -142,11 +145,18 @@ class Heartbeat:
 
     def __post_init__(self) -> None:
         os.makedirs(self.directory, exist_ok=True)
+        # Wall-clock of this process's FIRST beat — anchors the start-up
+        # grace for peers that never appear.  Must not be the beacon's
+        # mtime: beat() refreshes that every iteration, which would
+        # extend the grace forever and mask a peer that never launched.
+        self._first_beat: float | None = None
 
     def _path(self, pid: int) -> str:
         return os.path.join(self.directory, f"heartbeat_{pid}")
 
     def beat(self) -> None:
+        if self._first_beat is None:
+            self._first_beat = time.time()
         path = self._path(self.process_id)
         with open(path, "a"):
             os.utime(path, None)
@@ -167,14 +177,15 @@ class Heartbeat:
         process's own first beat — start-up isn't a failure.
         """
         grace = timeout_s if grace_s is None else grace_s
-        own = self.last_seen(self.process_id)
+        since_first = (None if self._first_beat is None
+                       else time.time() - self._first_beat)
         dead = []
         for pid in range(self.num_processes):
             if pid == self.process_id:
                 continue
             age = self.last_seen(pid)
             if age is None:
-                if own is not None and own <= grace:
+                if since_first is not None and since_first <= grace:
                     continue  # still inside start-up grace
                 dead.append(pid)
             elif age > timeout_s:

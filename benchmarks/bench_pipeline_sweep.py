@@ -37,7 +37,8 @@ def main():
     size = 160
     iters = 20 if on_tpu else 1
 
-    embedder = ArcFaceResNet100()
+    embedder = (ArcFaceResNet100() if on_tpu
+                else ArcFaceResNet100(stage_sizes=(1, 1, 1, 1)))
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3)))
     cparams = init_cascade_params(jax.random.PRNGKey(1))

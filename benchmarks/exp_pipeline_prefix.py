@@ -45,7 +45,7 @@ def timed(name, fn, x, iters=20):
     overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
     sync(chain(x, iters))
-    dt = (time.perf_counter() - t0 - overhead) / iters
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / iters
     ms64 = dt * 1000.0 * 64.0 / BATCH
     print(json.dumps({"prefix": name, "ms_per_64": round(ms64, 3),
                       "faces_per_sec": round(BATCH / dt, 1)}), flush=True)

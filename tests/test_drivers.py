@@ -109,21 +109,11 @@ class TestALinkDriver:
         assert state.un_size > 0
         assert os.path.isdir(cfg.out_model)
 
-    def test_max_restarts_requires_checkpoint(self, dfw_root, tmp_path):
-        cfg = parse_config(
-            [],
-            data_dir_prefix=dfw_root,
-            out_model=os.path.join(str(tmp_path), "post"),
-            ensemble_basepath=os.path.join(str(tmp_path), "ens"),
-            disguised_basemodel=os.path.join(str(tmp_path), "dig"),
-            noise=("gaussian",),
-            image_res=(SIZE, SIZE), feature_res=FDIM,
-            dig_epochs=1, undig_epochs=1, ft_epochs=1,
-            alink_bs=2, batch_send=4, batch_size=8,
-            max_restarts=2,  # but no loop_checkpoint
-        )
+    def test_max_restarts_requires_checkpoint(self):
+        # Validated at CONFIG time — a misconfigured run must not stage
+        # data and pretrain for hours before discovering it.
         with pytest.raises(ValueError, match="loop_checkpoint"):
-            run_alink(cfg, featurize=_flatten_featurize, n_steps=16)
+            parse_config([], max_restarts=2)
 
     def test_supervised_restart_completes(self, dfw_root, tmp_path,
                                           monkeypatch):

@@ -97,7 +97,12 @@ class TestShardedOps:
         from alink_tpu.parallel.pp import arcface_pp_apply, boundary_shape
 
         stage_sizes = (1, 1, 1, 1)
+        # Non-default widths: pp must read them from the caller, not
+        # assume (64, 128, 256, 512) — a hardcoded-width regression
+        # shows up as a cond branch shape mismatch here.
+        stage_widths = (32, 64, 128, 256)
         model = ArcFaceResNet100(stage_sizes=stage_sizes,
+                                 stage_widths=stage_widths,
                                  embedding_dim=16, dtype=jnp.float32)
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3), jnp.float32))
@@ -105,13 +110,15 @@ class TestShardedOps:
                                jnp.float32, 0.0, 255.0)
         want = model.apply(params, x)
         got = arcface_pp_apply(mesh8, params, x, stage_sizes=stage_sizes,
+                               stage_widths=stage_widths,
                                microbatches=2, dtype=jnp.float32)
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
-        # Static boundary bookkeeping: unit 1 of the tiny model ends at
-        # 28x28x128.
-        assert boundary_shape(1, 112, stage_sizes) == (28, 128)
+        # Static boundary bookkeeping: unit 1 of this model ends at
+        # 28x28x64.
+        assert boundary_shape(1, 112, stage_sizes, stage_widths) \
+            == (28, 64)
 
     def test_pp_validation_errors(self, mesh8):
         from alink_tpu.models import ArcFaceResNet100

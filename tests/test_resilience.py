@@ -233,10 +233,24 @@ class TestHeartbeat:
         h0.beat()
         # Peer 1 never beat, but process 0 only just started: grace.
         assert h0.check_peers(timeout_s=60.0) == []
-        # Once process 0's own beacon is old, the missing peer is real.
-        stale = time.time() - 120.0
-        os.utime(os.path.join(d, "heartbeat_0"), (stale, stale))
+        # Grace anchors to the FIRST beat, not the freshest one —
+        # otherwise per-iteration beats would extend it forever and a
+        # peer that never launched would never be reported.
+        h0._first_beat = time.time() - 120.0
+        h0.beat()  # keeps beating; must NOT reset the grace window
         assert h0.check_peers(timeout_s=60.0) == [1]
+
+    def test_peer_failure_is_fatal_for_retries(self):
+        calls = []
+
+        def step(attempt):
+            calls.append(attempt)
+            raise PeerFailure("process(es) [1] missed the deadline")
+
+        with pytest.raises(PeerFailure):
+            run_with_retries(step, _sleep=lambda s: None)
+        # A dead peer needs a job-level restart: never retried in-process.
+        assert calls == [0]
 
 
 class TestBarrier:

@@ -139,6 +139,27 @@ class TestMicroBatcher:
             with pytest.raises(RuntimeError, match="fell over"):
                 fut.result(timeout=10.0)
 
+    def test_bad_batch_fails_its_futures_not_the_worker(self):
+        """A stacking error (mismatched request shapes) must fail that
+        batch's futures and leave the batcher serviceable."""
+        from alink_tpu.serving import MicroBatcher
+
+        with MicroBatcher(lambda x: x, max_batch=4,
+                          max_delay_s=0.1) as mb:
+            f1 = mb.submit(np.zeros((2,), np.float32))
+            f2 = mb.submit(np.zeros((3,), np.float32))  # shape mismatch
+            errs = 0
+            for f in (f1, f2):
+                try:
+                    f.result(timeout=10.0)
+                except ValueError:
+                    errs += 1
+            assert errs >= 1  # the co-batched pair fails; a lone
+            # first request may have slipped through in its own batch
+            # Worker must still be alive for fresh requests:
+            np.testing.assert_allclose(
+                mb(np.ones((2,), np.float32)), [1.0, 1.0])
+
     def test_submit_after_close_raises(self):
         from alink_tpu.serving import MicroBatcher
 

@@ -203,8 +203,10 @@ def _port_prelu(tp):
     return {"alpha": jnp.asarray(tp.weight.detach().numpy())}
 
 
-def _randomize_bn_stats(tm, seed=1):
-    torch.manual_seed(seed)
+def _randomize_bn_stats(tm):
+    """Randomize BN running stats (call with the global RNG seeded —
+    module CONSTRUCTION must also happen under a seed so conv/fc weights
+    are reproducible per run)."""
     with torch.no_grad():
         for m in tm.modules():
             if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
@@ -259,6 +261,7 @@ def _port_arcface_tiny(tm, model, init):
 def test_arcface_ir_topology_matches_torch():
     from alink_tpu.models import ArcFaceResNet100
 
+    torch.manual_seed(1)
     tm = TorchArcFaceTiny().eval()
     _randomize_bn_stats(tm)
     model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
@@ -284,8 +287,9 @@ def test_arcface_fc1_bn_fold_matches_torch():
     the topology test never exercises it."""
     from alink_tpu.models import ArcFaceResNet100
 
+    torch.manual_seed(3)
     tm = TorchArcFaceTiny(with_fc1_bn=True).eval()
-    _randomize_bn_stats(tm, seed=3)
+    _randomize_bn_stats(tm)
     model = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1), embedding_dim=32,
                              dtype=jnp.float32)
     init = model.init(jax.random.PRNGKey(0),
