@@ -315,11 +315,14 @@ def detect_faces_limited(
 
     Reference: ``detect_face_limited`` (mtcnn_detector.py:192-305) — when a
     rough face box is already available (e.g. dataset bboxes,
-    face_image records) the cascade starts at R-Net.  ``boxes``:
-    (N, K, 4) with (N, K) validity.
+    face_image records, or the reference's whole-image box at :195) the
+    cascade starts at R-Net.  ``boxes``: (N, K, 4) with (N, K) validity.
+
+    Parity note: the reference crops R-Net inputs from the RAW given
+    box — no squaring before stage 2 (:199-206; squaring first happens
+    inside the R-Net stage at :224) — so none happens here either.
     """
     def single(img, b, v):
-        b = convert_to_square(b)
         b2, s2, v2 = _stage2(params, img, b, jnp.ones(b.shape[0]), v, cfg)
         return _stage3(params, img, b2, s2, v2, cfg)
 

@@ -320,3 +320,109 @@ def test_cascade_matches_reference_oracle():
                                        atol=0.05)
             np.testing.assert_allclose(got_lmk[j], want_lmk[i], atol=1.8)
         assert used.all()
+
+
+# ---------------------------------------------------------------------------
+# detect_face_limited differential oracle
+# ---------------------------------------------------------------------------
+
+def _np_detect_face_limited(img, params, boxes, t1, t2, collect=None):
+    """Reference detect_face_limited, det_type=2 (mtcnn_detector.py:192-262):
+    R-Net on the RAW given boxes (no squaring before stage 2), then
+    threshold -> NMS -> calibrate -> square -> round -> the O-Net stage."""
+    total = np.hstack([boxes.astype(np.float32),
+                       np.full((boxes.shape[0], 1), 0.9, np.float32)])
+    work = total.copy()
+    crops = _np_pad_crop(img, work, (24, 24))  # clips work in place
+    prob, reg = _RNET.apply(params.rnet, preprocess.mtcnn(jnp.asarray(crops)))
+    prob, reg = np.asarray(prob), np.asarray(reg)
+    if collect is not None:
+        collect["s2"] = prob[:, 1].copy()
+    passed = np.where(prob[:, 1] > t1)[0]
+    total = work[passed]
+    if total.shape[0] == 0:
+        return np.zeros((0, 5)), np.zeros((0, 10))
+    total[:, 4] = prob[passed, 1]
+    reg = reg[passed]
+    keep = _np_nms(total, 0.7, "Union")
+    total = total[keep]
+    total = _np_calibrate(total, reg[keep])
+    total = _np_square(total)
+    total[:, 0:4] = np.round(total[:, 0:4])
+
+    crops = _np_pad_crop(img, total, (48, 48))
+    prob, reg, lmk = _ONET.apply(params.onet,
+                                 preprocess.mtcnn(jnp.asarray(crops)))
+    prob, reg, lmk = np.asarray(prob), np.asarray(reg), np.asarray(lmk)
+    if collect is not None:
+        collect["s3"] = prob[:, 1].copy()
+    passed = np.where(prob[:, 1] > t2)[0]
+    total = total[passed]
+    if total.shape[0] == 0:
+        return np.zeros((0, 5)), np.zeros((0, 10))
+    total[:, 4] = prob[passed, 1]
+    reg = reg[passed]
+    points = lmk[passed].copy()
+    bbw = total[:, 2] - total[:, 0] + 1
+    bbh = total[:, 3] - total[:, 1] + 1
+    points[:, 0:5] = total[:, 0:1] + bbw[:, None] * points[:, 0:5]
+    points[:, 5:10] = total[:, 1:2] + bbh[:, None] * points[:, 5:10]
+    total = _np_calibrate(total, reg)
+    keep = _np_nms(total, 0.7, "Min")
+    return total[keep], points[keep]
+
+
+def test_limited_cascade_matches_reference_oracle():
+    """detect_faces_limited vs a NumPy re-derivation of the reference's
+    detect_face_limited — incl. the whole-image box the reference
+    de-facto uses (mtcnn_detector.py:195) and partially out-of-bounds
+    boxes (integer-valued: the reference's pad() int-casts coords)."""
+    from alink_tpu.detect import detect_faces_limited
+
+    params = init_cascade_params(jax.random.PRNGKey(7), with_lnet=False)
+    h, w = 64, 56
+    img = _synthetic_image(2, h, w)
+    boxes = np.array([
+        [0.0, 0.0, w, h],          # the reference's whole-image box
+        [4.0, 6.0, 40.0, 44.0],
+        [-8.0, 10.0, 30.0, 50.0],  # partially out of bounds
+        [20.0, 24.0, 70.0, 80.0],  # overflows right/bottom
+    ], np.float32)
+
+    c: dict = {}
+    _np_detect_face_limited(img, params, boxes.copy(), 0.99, 0.99,
+                            collect=c)
+    t1 = _gap_threshold(c["s2"], 0.3, 0.9)
+    c = {}
+    _np_detect_face_limited(img, params, boxes.copy(), t1, 0.99, collect=c)
+    t2 = _gap_threshold(c["s3"], 0.3, 0.9)
+
+    want_boxes, want_points = _np_detect_face_limited(
+        img, params, boxes.copy(), t1, t2)
+    assert want_boxes.shape[0] > 0, "oracle kept nothing — retune"
+
+    cfg = CascadeConfig(thresholds=(0.5, t1, t2),
+                        stage2_budget=4, stage3_budget=4)
+    det = detect_faces_limited(
+        params, jnp.asarray(img)[None], jnp.asarray(boxes)[None],
+        jnp.ones((1, boxes.shape[0]), bool), cfg)
+    n_valid = int(det.valid[0].sum())
+    assert n_valid == want_boxes.shape[0]
+
+    got_boxes = np.asarray(det.boxes[0])[:n_valid]
+    got_scores = np.asarray(det.scores[0])[:n_valid]
+    got_lmk = np.asarray(det.landmarks[0])[:n_valid]
+    want_lmk = np.stack([want_points[:, 0:5], want_points[:, 5:10]],
+                        axis=-1)
+    used = np.zeros(n_valid, bool)
+    for i in range(want_boxes.shape[0]):
+        d = np.abs(got_boxes - want_boxes[i, :4]).max(axis=1)
+        d = np.where(used, np.inf, d)
+        j = int(np.argmin(d))
+        assert d[j] < 1.8, (
+            f"oracle box {i} has no match: best diff {d[j]:.3f}\n"
+            f"want {want_boxes[i]}\ngot {got_boxes[j]}")
+        used[j] = True
+        np.testing.assert_allclose(got_scores[j], want_boxes[i, 4],
+                                   atol=5e-3)
+        np.testing.assert_allclose(got_lmk[j], want_lmk[i], atol=1.8)
