@@ -419,11 +419,7 @@ class ALinkLoop:
                         jnp.float32)
                     qr = pool[jnp.asarray(right_idx[queried])].astype(
                         jnp.float32)
-                    sfl, sfr = self._student_inputs(
-                        resize(ql, self.student_res),
-                        resize(qr, self.student_res),
-                    )
-                    self._finetune(ql, qr, sfl, sfr, pseudo)
+                    self._finetune(ql, qr, pseudo)
 
         log = IterationLog(
             iteration=len(self.logs),
@@ -440,11 +436,12 @@ class ALinkLoop:
             self.metrics.log("alink_iteration", **log._asdict())
         return log
 
-    def _finetune(self, left_raw, right_raw, sfl, sfr, pseudo):
+    def _finetune(self, left_raw, right_raw, pseudo):
         """Buffer + clean/augment + replay mix, then finetune M2
-        (ALINK.py:227-253).  All four pair arguments are the queried
-        subset: raw pixels (``left_raw``/``right_raw``) and their clean
-        student-space versions (``sfl``/``sfr``)."""
+        (ALINK.py:227-253).  ``left_raw``/``right_raw`` are the queried
+        subset's raw pixels; their clean student-space versions are
+        computed only on the non-augment path that uses them (the
+        augment path re-featurizes from the augmented pixels instead)."""
         cfg = self.config
         parts_l = [self.state.buffer_left]
         parts_r = [self.state.buffer_right]
@@ -467,7 +464,11 @@ class ALinkLoop:
             parts_y.append(np.argmax(np.asarray(ay), axis=-1))
         else:
             # Clean (un-noised) versions of the queried pairs
-            # (ALINK.py:247-250); sfl/sfr are already the queried subset.
+            # (ALINK.py:247-250), mapped into student space here.
+            sfl, sfr = self._student_inputs(
+                resize(jnp.asarray(left_raw), self.student_res),
+                resize(jnp.asarray(right_raw), self.student_res),
+            )
             parts_l.append(np.asarray(sfl))
             parts_r.append(np.asarray(sfr))
             parts_y.append(pseudo)

@@ -46,9 +46,8 @@ from alink_tpu.ops.boxes import (
     refine_with_reg,
     select_topk,
 )
-from alink_tpu.ops.image import (affine_warp, affine_warp_batch,
-                                 affine_warp_batch_pallas, crop_and_resize,
-                                 resize)
+from alink_tpu.ops.image import (affine_warp_batch, affine_warp_batch_pallas,
+                                 crop_and_resize, resize)
 from alink_tpu.ops.nms import nms, nms_batch
 from alink_tpu.ops.umeyama import arcface_template, umeyama
 

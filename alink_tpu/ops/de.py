@@ -102,6 +102,10 @@ def _mutate(
     jax.jit,
     static_argnames=(
         "fitness_fn", "strategy", "maxiter", "popsize", "init", "early_stop_fn",
+        # mutation/recombination drive Python-level control flow (dither
+        # detection, the exponential-length branch), so they must be
+        # concrete at trace time — as tracers they'd raise on `sorted`/`>=`.
+        "mutation", "recombination",
     ),
 )
 def differential_evolution(
@@ -159,9 +163,19 @@ def differential_evolution(
 
     cand = jnp.arange(m)
 
+    # Every strategy shares one 5-sample draw; with the minimum
+    # population (m=5: only 4 other members) the tail samples wrap onto
+    # the first ones — the reference sizes its draw per strategy
+    # (de.py:879-888), so 2-sample strategies work at m=5 there and
+    # keep working here, while 5-sample strategies are degenerate at
+    # that size in both implementations.
+    n_drawn = min(5, m - 1)
+
     def sample_idx(kk, c):
         """5 distinct member indices excluding the candidate (de.py:879-888)."""
-        r = jax.random.choice(kk, m - 1, (5,), replace=False)
+        r = jax.random.choice(kk, m - 1, (n_drawn,), replace=False)
+        if n_drawn < 5:
+            r = jnp.concatenate([r, r[: 5 - n_drawn]])
         return jnp.where(r >= c, r + 1, r)
 
     def generation(pop, energies, gkey):
@@ -179,7 +193,10 @@ def differential_evolution(
             cross = cross.at[cand, fill].set(True)  # de.py:805
         else:
             # Exponential: contiguous run from fill of geometric length L,
-            # P(L >= i) = CR^i (de.py:809-818).
+            # P(L >= i) = CR^i (de.py:809-818).  NOTE: the fork's while
+            # loop can copy ZERO parameters (P(L=0) = 1-CR) — modern
+            # scipy guarantees the fill point instead; we preserve the
+            # fork's semantics.
             u = jax.random.uniform(kr, (m,), minval=1e-12)
             if recombination >= 1.0:
                 length = jnp.full((m,), k)

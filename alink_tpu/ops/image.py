@@ -41,6 +41,18 @@ def resize(images: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return out[0] if single else out
 
 
+def _cast_like(out: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Cast a float interpolation result back to the input dtype.
+
+    Integer images round first (cv2's saturate_cast rounds; a bare
+    astype truncates toward zero, a systematic ~0.5 LSB downward bias
+    that would double the documented <=1 LSB-vs-cv2 budget)."""
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        info = jnp.iinfo(jnp.dtype(dtype))
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dtype)
+
+
 def _inv2x2(A: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of (..., 2, 2) matrices (adjugate / det).
 
@@ -202,7 +214,7 @@ def affine_warp_batch(
     _, blocks = jax.lax.scan(
         block, None, jnp.arange(n_blocks, dtype=jnp.float32) * row_block)
     out = jnp.moveaxis(blocks, 0, 1).reshape(n, pad_h, out_w, imgs.shape[3])
-    return out[:, :out_h].astype(imgs.dtype)
+    return _cast_like(out[:, :out_h], imgs.dtype)
 
 
 def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
@@ -464,8 +476,9 @@ def affine_warp_batch_pallas(
                             band=band, rows_per_tile=rows_per_tile,
                             h=h, w=w, c=c, cpad=cpad, border=border,
                             interpret=interpret)
-    return out[:, : out_h * out_w, :c].reshape(
-        n, out_h, out_w, c).astype(imgs.dtype)
+    return _cast_like(
+        out[:, : out_h * out_w, :c].reshape(n, out_h, out_w, c),
+        imgs.dtype)
 
 
 def affine_warp(
@@ -517,5 +530,6 @@ def crop_and_resize(
     cdt = compute_dtype or jnp.float32
     rows = jnp.einsum("koh,hwc->kowc", wy.astype(cdt), img.astype(cdt),
                       preferred_element_type=jnp.float32)
-    return jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
-                      preferred_element_type=jnp.float32).astype(img.dtype)
+    return _cast_like(
+        jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
+                   preferred_element_type=jnp.float32), img.dtype)

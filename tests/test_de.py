@@ -134,3 +134,33 @@ def test_vmap_over_problems(rng):
 
     xs = jax.vmap(solve)(offsets, jax.random.split(rng, 3))
     np.testing.assert_allclose(np.asarray(xs), np.asarray(offsets), atol=0.15)
+
+
+def test_min_population_with_single_param(rng):
+    """m = max(5, popsize*K) can be exactly 5 (one parameter): the shared
+    5-sample draw must wrap, not crash (reference sizes its draw per
+    strategy, de.py:879-888)."""
+    from alink_tpu.ops.de import differential_evolution
+
+    res = differential_evolution(
+        lambda x: jnp.sum(x ** 2, axis=-1), jnp.array([[-3.0, 3.0]]),
+        rng, popsize=5, maxiter=60, strategy="best1bin")
+    # 5 members is the degenerate minimum — assert progress, not optima.
+    assert float(res.fun) < 0.1
+
+
+def test_explicit_mutation_and_recombination_trace(rng):
+    """mutation (a dither tuple) and recombination drive Python-level
+    control flow, so they are static jit args — passing them explicitly
+    must trace, including the exponential branch."""
+    from alink_tpu.ops.de import differential_evolution
+
+    bounds = jnp.array([[-2.0, 2.0]] * 3)
+    f = lambda x: jnp.sum(x ** 2, axis=-1)  # noqa: E731
+    res = differential_evolution(f, bounds, rng, mutation=(0.3, 0.9),
+                                 recombination=0.9, maxiter=40)
+    assert float(res.fun) < 1e-2
+    res = differential_evolution(f, bounds, rng, strategy="best1exp",
+                                 mutation=0.7, recombination=0.85,
+                                 maxiter=60)
+    assert float(res.fun) < 1e-1

@@ -441,3 +441,28 @@ def test_affine_warp_batch_bf16_close(rng):
     bf16 = imops.affine_warp_batch(imgs, M, (24, 24),
                                    compute_dtype=jnp.bfloat16)
     assert float(jnp.max(jnp.abs(f32 - bf16))) < 1.5
+
+
+def test_integer_image_outputs_round_not_truncate():
+    """cv2's saturate_cast rounds; a bare astype truncates toward zero.
+    A constant uint8 image through fractional-offset warps/crops must
+    come back exactly — fp noise like 199.9999 must not become 199."""
+    import numpy as np
+    from alink_tpu.ops.image import (affine_warp_batch, crop_and_resize,
+                                     affine_warp_batch_pallas)
+
+    img = np.full((12, 12, 3), 200, np.uint8)
+    M = jnp.asarray([[[1.0, 0.0, 0.75], [0.0, 1.0, 0.25]]])
+    out = affine_warp_batch(jnp.asarray(img)[None], M, (8, 8))
+    assert out.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(out)[0, 1:-1, 1:-1], 200)
+
+    out = affine_warp_batch_pallas(jnp.asarray(img)[None], M, (8, 8),
+                                   interpret=True)
+    assert out.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(out)[0, 1:-1, 1:-1], 200)
+
+    crops = crop_and_resize(jnp.asarray(img),
+                            jnp.asarray([[1.25, 1.75, 9.0, 9.5]]), (6, 6))
+    assert crops.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(crops), 200)
