@@ -17,11 +17,19 @@ Reference semantics preserved:
 - DE config from attack_all: pixel_count=40, maxiter=50, popsize=250 ->
   ``popmul = max(1, popsize // (5 * pixel_count))``, recombination=1,
   atol=-1, polish off (attack.py:71, 81-83, 91);
-- untargeted-as-targeted flip: the attack *maximises* the probability of
-  ``1 - argmax(m1_label)`` by minimising the target-class probability
-  (attack.py:37-42, 96-97);
-- early stop per pair when the model's argmax already differs from the
-  target class (attack_success, attack.py:44-57);
+- target direction: ``attack_all`` runs a TARGETED attack toward
+  ``argmax(m1_label)`` — it passes ``target=target_class`` so
+  ``targeted_attack=True`` and ``minimize=False`` returns
+  ``1 - P(target)`` for DE to minimise, i.e. the solver *maximises* the
+  student's probability of M1's label (attack.py:37-42, 63, 74-75,
+  96-97; the ``1 - target_class`` it passes as ``actual_class`` is dead
+  on this path, :63).  Counterintuitive for an "adversarial" channel,
+  but it is what the reference computes — pairs where the student
+  resists agreeing with M1 even under attack carry the strongest
+  disagreement signal;
+- early stop per pair when the model's argmax already equals the target
+  class (attack_success with targeted_attack=True, attack.py:44-57) —
+  the common case, since M2 usually agrees with M1;
 - the pair is attacked as one vertically concatenated 2HxW image and split
   back into halves (noise.py:178-188).
 
@@ -157,7 +165,7 @@ def one_pixel_attack_pairs(
     return perturbed[:, :h], perturbed[:, h:]
 
 
-@partial(jax.jit, static_argnames=("predict_fn", "loss"))
+@partial(jax.jit, static_argnames=("predict_fn",))
 def fgsm_pairs(
     predict_fn: Callable[[object, jnp.ndarray, jnp.ndarray], jnp.ndarray],
     predict_params,
@@ -165,7 +173,6 @@ def fgsm_pairs(
     right: jnp.ndarray,
     target_labels: jnp.ndarray,
     epsilon: float = 2.0,
-    loss: str = "ce",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fast gradient-sign attack on a pair batch (BASELINE.json scope).
 

@@ -46,13 +46,22 @@ def plain(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     return images
 
 
+def _float_dtype(images: jnp.ndarray) -> jnp.dtype:
+    """Noise is float arithmetic: keep float inputs' dtype, compute in
+    f32 for integer images (the pool is uint8-resident; drawing normal
+    samples in uint8 would raise, and int round-trips would wrap)."""
+    return (images.dtype if jnp.issubdtype(images.dtype, jnp.floating)
+            else jnp.dtype(jnp.float32))
+
+
 def gaussian(
     key: jax.Array, images: jnp.ndarray, mean: float = 10.0, var: float = 10.0
 ) -> jnp.ndarray:
     """Additive Gaussian noise (noise.py:33-45)."""
     sigma = var**0.5
-    return images + mean + sigma * jax.random.normal(
-        key, images.shape, dtype=images.dtype
+    dt = _float_dtype(images)
+    return images.astype(dt) + mean + sigma * jax.random.normal(
+        key, images.shape, dtype=dt
     )
 
 
@@ -116,6 +125,7 @@ def poisson(
     """
 
     def one(img, k):
+        img = img.astype(_float_dtype(img))
         if assume_uint8:
             levels = jnp.arange(256, dtype=jnp.float32)
             flat = img.reshape(-1, 1).astype(jnp.float32)
@@ -139,7 +149,9 @@ def poisson(
 
 def speckle(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     """Multiplicative speckle noise (noise.py:79-88)."""
-    g = jax.random.normal(key, images.shape, dtype=images.dtype) / 15.0
+    dt = _float_dtype(images)
+    images = images.astype(dt)
+    g = jax.random.normal(key, images.shape, dtype=dt) / 15.0
     return images + images * g
 
 
@@ -161,8 +173,15 @@ def _perlin_octave(key: jax.Array, size: int, ns: int) -> jnp.ndarray:
 
     with weights fade(u/ns) x fade(v/ns) — the un-normalised offsets match
     the reference exactly (its amplitude scales with ns).
+
+    Grid sizing: ceil(size/ns)+1 gradient nodes per axis.  For sizes
+    divisible by ``ns`` this equals the reference's ``size/ns + 1``
+    (identical fields); for indivisible sizes the reference CRASHES
+    (its ``m.reshape(nc, ns, nc, ns)``, noise.py:130, fails — e.g. the
+    ALINK_arc 112x112 config with octave 32), whereas the ceil grid
+    gives the tail band a proper gradient cell instead.
     """
-    nc = size // ns
+    nc = -(-size // ns)
     phi = jax.random.uniform(key, (nc + 1, nc + 1), minval=0.0, maxval=2 * jnp.pi)
     g = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=-1)  # (nc+1, nc+1, 2) [x, y]
 

@@ -54,7 +54,9 @@ def head_weights(params) -> tuple[tuple[jnp.ndarray, jnp.ndarray], ...]:
     logit column is prefixed with a zero column (see SiameseHead.logits).
     """
     p = params["params"] if "params" in params else params
-    hidden = sorted(k for k in p if k.startswith("hidden_"))
+    # Numeric sort: lexicographic would order hidden_10 before hidden_2.
+    hidden = sorted((k for k in p if k.startswith("hidden_")),
+                    key=lambda k: int(k.rsplit("_", 1)[1]))
     layers = [(jnp.asarray(p[k]["kernel"]), jnp.asarray(p[k]["bias"])) for k in hidden]
     wo, bo = jnp.asarray(p["out"]["kernel"]), jnp.asarray(p["out"]["bias"])
     if wo.shape[-1] == 1:
@@ -279,6 +281,7 @@ def score_matrix(params, rows, cols, *, on_tpu: bool | None = None,
     if on_tpu and len(layers) == 3 and rows.shape[1] <= _PALLAS_MAX_D:
         return score_matrix_pallas(params, rows, cols, **kwargs)
     kwargs.pop("d_chunk", None)
+    kwargs.pop("interpret", None)  # pallas-only knob
     return score_matrix_xla(params, rows, cols, **kwargs)
 
 

@@ -178,24 +178,35 @@ class _PlateauControl:
     factor: float = 0.2
     min_lr: float = 0.01
 
-    best: float = float("inf")
+    # Each callback keeps its OWN best (Keras instantiates them
+    # separately): EarlyStopping only moves its best on a > min_delta
+    # improvement — a shared any-improvement best would let sub-min_delta
+    # creep starve the wait reset and stop a still-improving run.
+    best_es: float = float("inf")
+    best_lr: float = float("inf")
     es_wait: int = 0
     lr_wait: int = 0
+    _LR_MIN_DELTA = 1e-4  # Keras ReduceLROnPlateau default
 
     def update(self, state: TrainState, val_loss: float
                ) -> tuple[TrainState, bool]:
-        improved_es = val_loss < self.best - self.min_delta
-        improved_lr = val_loss < self.best  # plateau uses min_delta=1e-4~0
-        if val_loss < self.best:
-            self.best = val_loss
-        self.es_wait = 0 if improved_es else self.es_wait + 1
-        self.lr_wait = 0 if improved_lr else self.lr_wait + 1
-        if self.lr_wait > self.lr_patience:
-            new_lr = max(state.learning_rate * self.factor, self.min_lr)
-            if new_lr < state.learning_rate:
-                state = state.with_learning_rate(new_lr)
+        if val_loss < self.best_es - self.min_delta:
+            self.best_es = val_loss
+            self.es_wait = 0
+        else:
+            self.es_wait += 1
+        if val_loss < self.best_lr - self._LR_MIN_DELTA:
+            self.best_lr = val_loss
             self.lr_wait = 0
-        stop = self.es_wait > self.es_patience
+        else:
+            self.lr_wait += 1
+            # Keras fires at wait >= patience (checked after increment).
+            if self.lr_wait >= self.lr_patience:
+                new_lr = max(state.learning_rate * self.factor, self.min_lr)
+                if new_lr < state.learning_rate:
+                    state = state.with_learning_rate(new_lr)
+                self.lr_wait = 0
+        stop = self.es_wait >= self.es_patience
         return state, stop
 
 
@@ -219,11 +230,15 @@ def fit(
     plateau-LR exactly as the reference callbacks.
     """
     n = labels.shape[0]
-    n_val = int(n * validation_split)
-    n_train = n - n_val
+    # Keras slices train first: split_at = int(n * (1 - split)).
+    n_train = int(n * (1.0 - validation_split)) if validation_split else n
+    n_val = n - n_train
     tl, tr, ty = left[:n_train], right[:n_train], labels[:n_train]
     vl, vr, vy = left[n_train:], right[n_train:], labels[n_train:]
-    steps = max(1, n_train // batch_size)
+    # Ceil: Keras trains on the short remainder batch too (one extra
+    # compile for that shape; dropping it would skip up to batch_size-1
+    # samples per epoch).
+    steps = max(1, -(-n_train // batch_size))
     control = _PlateauControl()
     logs: list[EpochLog] = []
 
