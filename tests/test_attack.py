@@ -39,7 +39,8 @@ _TOY_PARAMS = jnp.float32(8.0)
 
 
 def test_one_pixel_attack_moves_toward_target(rng):
-    # The attack maximises p[target] (attack.py:96-97 flip + :42).
+    # attack_all runs a TARGETED attack toward argmax(targets): DE
+    # minimises 1 - P(target) (attack.py:37-42, 63, 74-75, 96-97).
     n, h, w = 2, 8, 8
     left = jnp.full((n, h, w, 3), 100.0)
     right = jnp.full((n, h, w, 3), 100.0)
