@@ -134,6 +134,11 @@ class ALinkArcConfig(ALinkConfig):
     )
     image_res: tuple[int, int] = (112, 112)
     feature_res: int = 512
+    # LResNet depth for the embedder: 34/50/100 from the insightface zoo
+    # (the reference's --model flag points at whichever checkpoint was
+    # downloaded, face_model.py:28-41; r100 is its de-facto default).
+    # r50 halves the embed FLOPs — see models/arcface.py.
+    embed_depth: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

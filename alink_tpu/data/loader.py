@@ -85,11 +85,15 @@ def load_image_list(
     *,
     threads: int = 16,
     backend: str = "auto",
+    dct_scale: bool = False,
 ) -> np.ndarray:
     """Decode a flat list of paths into an (N, H, W, 3) float32 array.
 
     ``backend``: "native" (the C++ loader, native/loader.cc), "pil"
     (portable thread-pooled PIL), or "auto" (native when built).
+    ``dct_scale`` (native backend only): libjpeg scaled decode for
+    large sources — faster ingest, approximate pixels (see
+    ``native_loader.decode_resize_batch``).
     """
     if not paths:
         w, h = image_res
@@ -99,7 +103,8 @@ def load_image_list(
 
         if native_loader.available():
             out, _ = native_loader.decode_resize_batch(
-                list(paths), image_res, threads=threads)
+                list(paths), image_res, threads=threads,
+                dct_scale=dct_scale)
             return out
         if backend == "native":
             raise RuntimeError("native loader requested but unavailable")

@@ -50,6 +50,14 @@ def get_lib():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        if hasattr(lib, "alink_decode_resize_batch_v2"):
+            lib.alink_decode_resize_batch_v2.restype = ctypes.c_int
+            lib.alink_decode_resize_batch_v2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int,
+            ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -64,11 +72,19 @@ def decode_resize_batch(
     paths: Sequence[str],
     image_res: tuple[int, int],
     threads: int | None = None,
+    dct_scale: bool = False,
 ) -> tuple[np.ndarray, int]:
     """Decode+resize a path list -> ((N, H, W, 3) float32, n_failures).
 
     ``image_res`` is (width, height), the reference's cv2 dsize convention
     (matching ``loader.load_image_list``).  Failed slots are zero-filled.
+
+    ``dct_scale=True`` lets libjpeg decode at the largest 1/2^k scale
+    that still covers the target before the bilinear resize — a ~4-16x
+    per-core ingest speedup on photos >=2x the target resolution (see
+    BENCHMARKS.md "Host ingest").  Off by default: the scaled decode is
+    a box-filtered approximation, so bit-parity with the PIL fallback
+    path only holds when it is off.
     """
     lib = get_lib()
     if lib is None:
@@ -81,8 +97,13 @@ def decode_resize_batch(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if threads is None:
         threads = min(16, os.cpu_count() or 1)
-    failures = lib.alink_decode_resize_batch(
-        arr, n, h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        threads,
-    )
+    buf = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if dct_scale and not hasattr(lib, "alink_decode_resize_batch_v2"):
+        raise RuntimeError("dct_scale requires a rebuilt liballoader.so "
+                           "(make -C native)")
+    if dct_scale:
+        failures = lib.alink_decode_resize_batch_v2(
+            arr, n, h, w, buf, threads, 1)
+    else:
+        failures = lib.alink_decode_resize_batch(arr, n, h, w, buf, threads)
     return out, int(failures)

@@ -18,14 +18,20 @@ import jax.numpy as jnp
 
 from alink_tpu.config import ALinkArcConfig
 from alink_tpu.drivers.alink import parse_config, run_alink
-from alink_tpu.models import ArcFaceResNet100
+from alink_tpu.models import (ArcFaceResNet34, ArcFaceResNet50,
+                              ArcFaceResNet100)
+
+_DEPTHS = {34: ArcFaceResNet34, 50: ArcFaceResNet50,
+           100: ArcFaceResNet100}
 
 
-def make_arcface_featurizer(key: jax.Array, params=None):
+def make_arcface_featurizer(key: jax.Array, params=None, depth: int = 100):
     """Batched 512-d ArcFace embedder (face_model.py:86-93 without the
     batch=1 limit).  Random params unless given (pretrained weights
-    restore via train.checkpoint)."""
-    model = ArcFaceResNet100()
+    restore via train.checkpoint).  ``depth`` picks the LResNet zoo
+    member (34/50/100) matching whichever checkpoint the deployment
+    converted — the reference's --model flag plays the same role."""
+    model = _DEPTHS[depth]()
     if params is None:
         params = model.init(key, jnp.zeros((1, 112, 112, 3), jnp.float32))
 
@@ -39,7 +45,7 @@ def make_arcface_featurizer(key: jax.Array, params=None):
 def main(argv=None) -> None:
     config = parse_config(argv, config_cls=ALinkArcConfig)
     featurize, _ = make_arcface_featurizer(
-        jax.random.PRNGKey(config.seed + 100)
+        jax.random.PRNGKey(config.seed + 100), depth=config.embed_depth
     )
     run_alink(config, featurize=featurize)
 

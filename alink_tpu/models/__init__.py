@@ -21,7 +21,11 @@ committee can stack them on a leading ensemble axis and ``vmap`` the apply
 
 from alink_tpu.models.siamese import SiameseHead, SmallRes, SmallResTower  # noqa: F401
 from alink_tpu.models.resnet import SENet50, VGGFaceResNet50, VGGFace16  # noqa: F401
-from alink_tpu.models.arcface import ArcFaceResNet100  # noqa: F401
+from alink_tpu.models.arcface import (  # noqa: F401
+    ArcFaceResNet34,
+    ArcFaceResNet50,
+    ArcFaceResNet100,
+)
 from alink_tpu.models.mtcnn import PNet, RNet, ONet, LNet  # noqa: F401
 from alink_tpu.models.classify import (  # noqa: F401
     ResNet50Classifier,

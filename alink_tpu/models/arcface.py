@@ -106,3 +106,21 @@ class ArcFaceResNet100(nn.Module):
         x = x * gamma + beta
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)
+
+
+def ArcFaceResNet50(**kwargs) -> ArcFaceResNet100:
+    """LResNet50E-IR: the insightface zoo's 50-layer sibling of r100.
+
+    Unit counts (3, 4, 14, 3) per insightface's fresnet depth table; same
+    IR unit, widths, and E-head as r100, so the reference's loader
+    (face_model.py:28-41, which accepts any LResNet checkpoint path)
+    covers it too.  ~12.6 GFLOP/face vs r100's ~24 — its bf16 embed
+    roofline on this chip is ~15.6k faces/s, clearing the 10k north star
+    for deployments that accept the smaller backbone (see BENCHMARKS.md).
+    """
+    return ArcFaceResNet100(stage_sizes=(3, 4, 14, 3), **kwargs)
+
+
+def ArcFaceResNet34(**kwargs) -> ArcFaceResNet100:
+    """LResNet34E-IR: unit counts (3, 4, 6, 3) from the same depth table."""
+    return ArcFaceResNet100(stage_sizes=(3, 4, 6, 3), **kwargs)

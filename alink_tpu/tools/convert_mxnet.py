@@ -206,17 +206,44 @@ def _first(raw: dict, *candidates: str) -> str:
 # ArcFace LResNet100E-II
 # --------------------------------------------------------------------------
 
+def infer_stage_sizes(raw: dict) -> tuple[int, ...]:
+    """Count ``stage{s}_unit{u}`` blocks present in a raw checkpoint.
+
+    Lets one converter cover the whole LResNet zoo the reference's loader
+    accepts (face_model.py:28-41): r34 (3, 4, 6, 3), r50 (3, 4, 14, 3),
+    r100 (3, 13, 30, 3) — the depth is read off the file, not guessed.
+    Stages/units are 1-based and contiguous in MXNet naming; a gap means
+    a truncated or foreign file, so counting contiguous prefixes (rather
+    than taking the max index) surfaces that as a KeyError downstream.
+    """
+    sizes = []
+    for s in range(1, 99):
+        u = 0
+        while f"stage{s}_unit{u + 1}_bn1_gamma" in raw:
+            u += 1
+        if u == 0:
+            break
+        sizes.append(u)
+    if not sizes:
+        raise KeyError("no stage{s}_unit{u} parameters found — not an "
+                       "LResNet checkpoint")
+    return tuple(sizes)
+
+
 def arcface_param_tree(
     raw: dict,
-    stage_sizes: tuple[int, ...] = (3, 13, 30, 3),
+    stage_sizes: tuple[int, ...] | None = None,
 ) -> dict:
     """Map insightface LResNet params onto ``models.ArcFaceResNet100``.
 
     MXNet naming (model-r100-ii): stem ``conv0/bn0/relu0``; unit u of
     stage s: ``stage{s}_unit{u}_{bn1,conv1,bn2,relu1,conv2,bn3}`` plus
     ``_conv1sc``/``_sc`` (shortcut conv + BN) on the stride-2 entry unit;
-    tail ``bn1``, ``pre_fc1``, ``fc1`` (output BN).
+    tail ``bn1``, ``pre_fc1``, ``fc1`` (output BN).  ``stage_sizes=None``
+    infers the depth from the checkpoint (r34/r50/r100 all convert).
     """
+    if stage_sizes is None:
+        stage_sizes = infer_stage_sizes(raw)
     p: dict = {
         "Conv_0": _conv(raw, "conv0"),
         "_FrozenBN_0": _bn(raw, "bn0"),

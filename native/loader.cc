@@ -15,8 +15,19 @@
 //   int alink_decode_resize_batch(const char** paths, int n,
 //                                 int out_h, int out_w,
 //                                 float* out, int threads);
+//   int alink_decode_resize_batch_v2(..., int dct_scale);
 // Returns the number of images that failed to decode (their slots are
 // zero-filled); never throws across the boundary.
+//
+// dct_scale != 0 enables libjpeg's fractional-DCT decode: the JPEG is
+// decoded at the largest 1/2^k (k<=3) scale whose output still covers
+// the resize target, then bilinear-resized the rest of the way.  On
+// photos >=2x the target this cuts IDCT+color work ~4-16x per core —
+// the host-ingest lever that keeps one loader host ahead of a >4k
+// faces/s chip.  It is OFF by default because the decoded pixels are a
+// box-filtered approximation of the full-resolution image: bit-parity
+// with the PIL fallback (and the reference's PIL+cv2 path) only holds
+// with dct_scale=0.
 
 #include <atomic>
 #include <cmath>
@@ -48,7 +59,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   std::longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+bool decode_jpeg(FILE* f, Image* out, int min_h, int min_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -61,6 +72,20 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_h > 0 && min_w > 0) {
+    // Largest 1/2^k decode whose output still covers the resize target,
+    // so the follow-up bilinear only ever downscales (upscaling a
+    // scaled decode would lose detail the full decode had).
+    cinfo.scale_num = 1;
+    for (int denom = 8; denom >= 1; denom >>= 1) {
+      cinfo.scale_denom = denom;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(cinfo.output_height) >= min_h &&
+          static_cast<int>(cinfo.output_width) >= min_w) {
+        break;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -112,7 +137,7 @@ bool decode_png(FILE* f, Image* out) {
   return true;
 }
 
-bool decode_file(const char* path, Image* out) {
+bool decode_file(const char* path, Image* out, int min_h, int min_w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   unsigned char magic[8] = {0};
@@ -120,9 +145,9 @@ bool decode_file(const char* path, Image* out) {
   std::rewind(f);
   bool ok = false;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, min_h, min_w);
   } else if (got >= 8 && !std::memcmp(magic, "\x89PNG\r\n\x1a\n", 8)) {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // libpng has no scaled decode
   }
   std::fclose(f);
   return ok;
@@ -165,11 +190,13 @@ void resize_bilinear(const Image& src, int out_h, int out_w, float* dst) {
 
 }  // namespace
 
-extern "C" int alink_decode_resize_batch(const char** paths, int n,
-                                         int out_h, int out_w, float* out,
-                                         int threads) {
+extern "C" int alink_decode_resize_batch_v2(const char** paths, int n,
+                                            int out_h, int out_w, float* out,
+                                            int threads, int dct_scale) {
   if (n <= 0) return 0;
   const size_t img_elems = static_cast<size_t>(out_h) * out_w * 3;
+  const int min_h = dct_scale ? out_h : 0;
+  const int min_w = dct_scale ? out_w : 0;
   std::atomic<int> next(0), failures(0);
   int nthreads = threads > 0 ? threads : 1;
   if (nthreads > n) nthreads = n;
@@ -180,7 +207,8 @@ extern "C" int alink_decode_resize_batch(const char** paths, int n,
       if (i >= n) break;
       Image img;
       float* dst = out + img_elems * i;
-      if (decode_file(paths[i], &img) && img.h > 0 && img.w > 0) {
+      if (decode_file(paths[i], &img, min_h, min_w) && img.h > 0 &&
+          img.w > 0) {
         resize_bilinear(img, out_h, out_w, dst);
       } else {
         std::memset(dst, 0, img_elems * sizeof(float));
@@ -198,4 +226,11 @@ extern "C" int alink_decode_resize_batch(const char** paths, int n,
     for (auto& th : pool) th.join();
   }
   return failures.load();
+}
+
+extern "C" int alink_decode_resize_batch(const char** paths, int n,
+                                         int out_h, int out_w, float* out,
+                                         int threads) {
+  return alink_decode_resize_batch_v2(paths, n, out_h, out_w, out, threads,
+                                      /*dct_scale=*/0);
 }

@@ -84,6 +84,34 @@ def test_arcface_tree_matches_model_init():
                                1.0, atol=1e-3)
 
 
+def test_stage_size_inference_covers_the_zoo():
+    """arcface_param_tree(raw) with no stage_sizes reads the depth off
+    the checkpoint keys — one converter for r34/r50/r100 shaped files."""
+    sizes = (2, 1, 3, 1)
+    raw = _synth_arcface_raw(stage_sizes=sizes)
+    assert cm.infer_stage_sizes(raw) == sizes
+    tree = cm.arcface_param_tree(raw)  # inferred
+    want = cm.arcface_param_tree(raw, stage_sizes=sizes)
+    assert _tree_shapes(tree) == _tree_shapes(want)
+    with pytest.raises(KeyError):
+        cm.infer_stage_sizes({"conv0_weight": raw["conv0_weight"]})
+
+
+def test_arcface_variant_factories():
+    from alink_tpu.models import ArcFaceResNet34, ArcFaceResNet50
+    assert ArcFaceResNet50().stage_sizes == (3, 4, 14, 3)
+    assert ArcFaceResNet34().stage_sizes == (3, 4, 6, 3)
+    # Same IR topology/head: the converter's inferred tree for an
+    # r34-depth synthetic checkpoint must init-match the factory model.
+    sizes = (3, 4, 6, 3)
+    raw = _synth_arcface_raw(stage_sizes=sizes)
+    tree = cm.arcface_param_tree(raw)
+    model = ArcFaceResNet34()
+    want = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 112, 112, 3)))
+    assert _tree_shapes(tree) == jax.tree.map(lambda s: s.shape, want)
+
+
 def test_fc1_bn_folding():
     raw = _synth_arcface_raw()
     tree = cm.arcface_param_tree(raw, stage_sizes=(1, 1, 1, 1))["params"]

@@ -70,3 +70,50 @@ def test_loader_backend_integration(image_files):
     assert native.shape == pil.shape == (4, 12, 12, 3)
     # Different resize kernels (PIL vs cv2-style) but same content scale.
     assert abs(float(native.mean()) - float(pil.mean())) < 8.0
+
+
+def test_dct_scale_identical_when_not_engaged(image_files):
+    """Sources smaller than 2x the target decode at scale 1 — the fast
+    path must then be bit-identical to the exact path.  (Target height
+    27 > half of every fixture's 40-52 px height, so no source
+    engages.)"""
+    exact, _ = native_loader.decode_resize_batch(image_files, (20, 27))
+    fast, _ = native_loader.decode_resize_batch(image_files, (20, 27),
+                                                dct_scale=True)
+    np.testing.assert_array_equal(exact, fast)
+
+
+def test_dct_scale_approximates_large_jpeg(tmp_path):
+    """On a >=4x source the scaled decode engages: pixels are a close
+    approximation (box-filtered DCT downscale), never garbage, and PNGs
+    (no libjpeg path) stay bit-exact."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(128, 40, (24, 24, 3)).clip(0, 255).astype(np.uint8)
+    big = np.asarray(Image.fromarray(base).resize((640, 512),
+                                                  Image.BILINEAR))
+    jpg = str(tmp_path / "big.jpg")
+    png = str(tmp_path / "big.png")
+    Image.fromarray(big).save(jpg, quality=92)
+    Image.fromarray(big).save(png)
+    exact, _ = native_loader.decode_resize_batch([jpg, png], (80, 64))
+    fast, _ = native_loader.decode_resize_batch([jpg, png], (80, 64),
+                                                dct_scale=True)
+    # JPEG slot: approximate but close on a smooth image.
+    assert np.abs(exact[0] - fast[0]).mean() < 3.0
+    assert np.abs(exact[0] - fast[0]).max() < 40.0
+    assert not np.array_equal(exact[0], fast[0])  # it DID engage
+    # PNG slot: unchanged.
+    np.testing.assert_array_equal(exact[1], fast[1])
+
+
+def test_dct_scale_never_upscales_tiny_sources(tmp_path):
+    """A source below the target must still decode at full scale (the
+    denom loop bottoms out at 1) and match the exact path."""
+    rng = np.random.default_rng(4)
+    small = rng.integers(0, 255, (20, 18, 3), dtype=np.uint8)
+    p = str(tmp_path / "small.jpg")
+    Image.fromarray(small).save(p, quality=92)
+    exact, _ = native_loader.decode_resize_batch([p], (64, 64))
+    fast, _ = native_loader.decode_resize_batch([p], (64, 64),
+                                                dct_scale=True)
+    np.testing.assert_array_equal(exact, fast)
