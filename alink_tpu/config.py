@@ -98,6 +98,12 @@ class ALinkConfig:
     # conservative default.  Tune per deployment; bench_selection.py
     # measures both modes.
     device_batch: int = 1024
+    # Host ingest: decode large JPEGs at the biggest 1/2^k DCT scale
+    # that still covers image_res (native loader only; ~1.8x per core
+    # on camera-sized photos, BENCHMARKS.md "Host ingest").  Off by
+    # default — the scaled decode approximates the full-resolution
+    # pixels, so keep it off when bit-parity with the PIL path matters.
+    ingest_dct_scale: bool = False
 
     def __post_init__(self):
         if not (0.0 <= self.split_ratio <= 1.0):  # ALINK.py:74
@@ -184,6 +190,7 @@ class MTPConfig:
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
     device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
+    ingest_dct_scale: bool = False  # see ALinkConfig.ingest_dct_scale
     loop_checkpoint: str = ""  # see ALinkConfig.loop_checkpoint
     checkpoint_every: int = 1
     train_steps: int = 320000  # see ALinkConfig.train_steps

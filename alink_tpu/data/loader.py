@@ -119,18 +119,22 @@ def load_person_stacks(
     *,
     threads: int = 16,
     pad_to: int | None = None,
+    dct_scale: bool = False,
 ) -> PersonStacks:
     """Decode per-person path lists into a padded ``PersonStacks``.
 
     ``path_groups[p]`` is the image list of person ``p`` (one group of a
     ``DFWPerson``, or one Multi-PIE subject).  ``pad_to`` forces a stack
-    size (for aligning independently-loaded groups).
+    size (for aligning independently-loaded groups).  ``dct_scale``
+    passes through to ``load_image_list`` (fast approximate JPEG ingest;
+    ALinkConfig.ingest_dct_scale sets it for the drivers).
     """
     counts = np.asarray([len(g) for g in path_groups], np.int32)
     s_max = pad_to if pad_to is not None else max(1, int(counts.max(initial=0)))
     w, h = image_res
     flat_paths = [p for g in path_groups for p in g]
-    flat = load_image_list(flat_paths, image_res, threads=threads)
+    flat = load_image_list(flat_paths, image_res, threads=threads,
+                           dct_scale=dct_scale)
     images = np.zeros((len(path_groups), s_max, h, w, 3), np.float32)
     offset = 0
     for p, c in enumerate(counts):

@@ -82,10 +82,12 @@ def run_alink_mtp(
 
     # Subject pool (readMTP.readAllImages) at teacher resolution.
     groups = scan_mtp(config.data_dir_prefix)
+    dct = config.ingest_dct_scale
     hi = load_person_stacks(list(groups.values()),
-                            tuple(config.image_res))
+                            tuple(config.image_res), dct_scale=dct)
     lo = load_person_stacks(list(groups.values()),
-                            (config.low_res, config.low_res))
+                            (config.low_res, config.low_res),
+                            dct_scale=dct)
 
     # Student pretraining pool / unlabeled pool split (split_ratio).
     lo_pre, _ = split_disguise_data(lo, config.split_ratio)

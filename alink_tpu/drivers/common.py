@@ -9,6 +9,7 @@ balanced replay generator.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Sequence
 
 import jax
@@ -62,6 +63,10 @@ def featurize_stacks(stacks: PersonStacks, featurize, batch: int = 256
     (readDFW.py:99-101): one padded pass over all images."""
 
     def run(flat):
+        if flat.shape[0] == 0:
+            # Zero images (e.g. a group the scan found empty): one
+            # zero-batch call still yields the right feature shape.
+            return np.asarray(featurize(jnp.asarray(flat)))
         outs = []
         for i in range(0, flat.shape[0], batch):
             outs.append(np.asarray(featurize(jnp.asarray(flat[i:i + batch]))))
@@ -76,10 +81,20 @@ def load_dfw(
     """Scan + decode + featurize the DFW training tree
     (ALINK.py:69-77: getAllTrainData + getRawTrainData)."""
     people = scan_dfw(config.data_dir_prefix, config.train_images_dir)
+    if not people:
+        raise FileNotFoundError(
+            "no DFW persons with plain + disguised (_h_) + impostor (_I_) "
+            f"images found under "
+            f"{os.path.join(config.data_dir_prefix, config.train_images_dir)}"
+        )
     res = tuple(config.image_res)
-    plain_raw = load_person_stacks([p.plain for p in people], res)
-    dig_raw = load_person_stacks([p.disguised for p in people], res)
-    imp_raw = load_person_stacks([p.impostor for p in people], res)
+    dct = getattr(config, "ingest_dct_scale", False)
+    plain_raw = load_person_stacks([p.plain for p in people], res,
+                                   dct_scale=dct)
+    dig_raw = load_person_stacks([p.disguised for p in people], res,
+                                 dct_scale=dct)
+    imp_raw = load_person_stacks([p.impostor for p in people], res,
+                                 dct_scale=dct)
     return DFWData(
         plain_feats=featurize_stacks(plain_raw, featurize),
         dig_feats=featurize_stacks(dig_raw, featurize),

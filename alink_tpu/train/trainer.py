@@ -232,6 +232,12 @@ def fit(
     n = labels.shape[0]
     # Keras slices train first: split_at = int(n * (1 - split)).
     n_train = int(n * (1.0 - validation_split)) if validation_split else n
+    if n_train == 0:
+        # Degenerate tiny fit (n*split rounds to everything-validation):
+        # Keras would raise on an empty train set; train on all rows and
+        # skip validation instead — the callers here feed arbitrarily
+        # small query batches (e.g. a 1-pair oracle round).
+        n_train = n
     n_val = n - n_train
     tl, tr, ty = left[:n_train], right[:n_train], labels[:n_train]
     vl, vr, vy = left[n_train:], right[n_train:], labels[n_train:]

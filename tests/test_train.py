@@ -117,6 +117,18 @@ class TestFit:
         assert logs[-1].val_acc > 0.8
         assert logs[0].learning_rate == 1.0
 
+    def test_fit_single_pair_degenerate_split(self, state):
+        """n=1 with validation_split=0.2: the Keras-exact split would
+        put the only row in validation (int(1*0.8)=0 train rows) — the
+        guard trains on all rows and skips validation instead of
+        reshaping a zero-size batch (regression: existing_AL_MTP's
+        1-pair oracle rounds)."""
+        left, right, y = _toy_pairs(jax.random.PRNGKey(11), 1)
+        st, logs = T.fit(state, left, right, y, epochs=2, batch_size=32,
+                         key=jax.random.PRNGKey(12))
+        assert len(logs) == 2
+        assert np.isfinite(logs[-1].val_loss)
+
     def test_early_stop_fires(self, state):
         """With patience 5 and min_delta 0.1, a flat val loss stops after
         5 stalled epochs (Keras checks wait >= patience after the
