@@ -158,27 +158,35 @@ bool decode_file(const char* path, Image* out, int min_h, int min_w) {
 void resize_bilinear(const Image& src, int out_h, int out_w, float* dst) {
   const float sy = static_cast<float>(src.h) / out_h;
   const float sx = static_cast<float>(src.w) / out_w;
+  // The x-axis tap indices/weights are row-invariant: hoist them out of
+  // the row loop (they were ~40% of the per-pixel work).
+  std::vector<int> x0s(out_w), x1s(out_w);
+  std::vector<float> wxs(out_w);
+  for (int ox = 0; ox < out_w; ++ox) {
+    float fx = (ox + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    wxs[ox] = fx - x0;
+    x0s[ox] = (x0 < 0 ? 0 : (x0 >= src.w ? src.w - 1 : x0)) * 3;
+    x1s[ox] = (x0 + 1 < 0 ? 0 : (x0 + 1 >= src.w ? src.w - 1 : x0 + 1)) * 3;
+  }
   for (int oy = 0; oy < out_h; ++oy) {
     float fy = (oy + 0.5f) * sy - 0.5f;
     int y0 = static_cast<int>(std::floor(fy));
     float wy = fy - y0;
     int y0c = y0 < 0 ? 0 : (y0 >= src.h ? src.h - 1 : y0);
     int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= src.h ? src.h - 1 : y0 + 1);
+    const unsigned char* rtop =
+        src.rgb.data() + static_cast<size_t>(y0c) * src.w * 3;
+    const unsigned char* rbot =
+        src.rgb.data() + static_cast<size_t>(y1c) * src.w * 3;
+    float* orow = dst + static_cast<size_t>(oy) * out_w * 3;
     for (int ox = 0; ox < out_w; ++ox) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      int x0 = static_cast<int>(std::floor(fx));
-      float wx = fx - x0;
-      int x0c = x0 < 0 ? 0 : (x0 >= src.w ? src.w - 1 : x0);
-      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= src.w ? src.w - 1 : x0 + 1);
-      const unsigned char* p00 =
-          src.rgb.data() + (static_cast<size_t>(y0c) * src.w + x0c) * 3;
-      const unsigned char* p01 =
-          src.rgb.data() + (static_cast<size_t>(y0c) * src.w + x1c) * 3;
-      const unsigned char* p10 =
-          src.rgb.data() + (static_cast<size_t>(y1c) * src.w + x0c) * 3;
-      const unsigned char* p11 =
-          src.rgb.data() + (static_cast<size_t>(y1c) * src.w + x1c) * 3;
-      float* o = dst + (static_cast<size_t>(oy) * out_w + ox) * 3;
+      const float wx = wxs[ox];
+      const unsigned char* p00 = rtop + x0s[ox];
+      const unsigned char* p01 = rtop + x1s[ox];
+      const unsigned char* p10 = rbot + x0s[ox];
+      const unsigned char* p11 = rbot + x1s[ox];
+      float* o = orow + ox * 3;
       for (int c = 0; c < 3; ++c) {
         float top = p00[c] + wx * (p01[c] - p00[c]);
         float bot = p10[c] + wx * (p11[c] - p10[c]);
