@@ -25,6 +25,8 @@ from alink_tpu.models.arcface import (  # noqa: F401
     ArcFaceResNet34,
     ArcFaceResNet50,
     ArcFaceResNet100,
+    stack_ir_params,
+    unstack_ir_params,
 )
 from alink_tpu.models.mtcnn import PNet, RNet, ONet, LNet  # noqa: F401
 from alink_tpu.models.classify import (  # noqa: F401

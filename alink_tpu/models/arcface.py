@@ -72,6 +72,17 @@ class _IRUnit(nn.Module):
         return y + shortcut
 
 
+class _ScanIR(nn.Module):
+    """lax.scan body over a stage's homogeneous (stride-1) IR units."""
+
+    filters: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _) -> tuple[jnp.ndarray, None]:
+        return _IRUnit(self.filters, stride=1, dtype=self.dtype)(x), None
+
+
 class ArcFaceResNet100(nn.Module):
     """LResNet100E-II to the L2-normalised 512-d fc1 embedding.
 
@@ -79,12 +90,20 @@ class ArcFaceResNet100(nn.Module):
     fc1_output, then sklearn L2 normalize).  Input is raw RGB in [0, 255] at
     112x112 (the reference feeds raw transposed pixels, face_model.py:70-84);
     the stem BN handles scaling.
+
+    ``scan_units=True`` runs each stage's stride-1 units as one
+    ``lax.scan`` over stacked params instead of unrolling them into the
+    program — identical numerics (same op sequence), much smaller HLO
+    (r100's 30-unit stage 3 traces once), so compile/cold-start time
+    drops sharply.  Param trees differ: ``stack_ir_params`` /
+    ``unstack_ir_params`` convert between the two layouts.
     """
 
     stage_sizes: Sequence[int] = (3, 13, 30, 3)
     stage_widths: Sequence[int] = (64, 128, 256, 512)
     embedding_dim: int = 512
     dtype: jnp.dtype = jnp.bfloat16
+    scan_units: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +112,17 @@ class ArcFaceResNet100(nn.Module):
         x = _FrozenBN(dtype=self.dtype)(x)
         x = _PReLU(dtype=self.dtype)(x)
         for blocks, width in zip(self.stage_sizes, self.stage_widths):
+            if self.scan_units:
+                x = _IRUnit(width, stride=2, dtype=self.dtype)(x)
+                if blocks > 1:
+                    body = nn.scan(
+                        _ScanIR,
+                        variable_axes={"params": 0},
+                        split_rngs={"params": True},
+                        length=blocks - 1,
+                    )(width, dtype=self.dtype)
+                    x, _ = body(x, None)
+                continue
             for b in range(blocks):
                 x = _IRUnit(width, stride=2 if b == 0 else 1, dtype=self.dtype)(x)
         x = _FrozenBN(dtype=self.dtype)(x)
@@ -106,6 +136,54 @@ class ArcFaceResNet100(nn.Module):
         x = x * gamma + beta
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)
+
+
+def stack_ir_params(params: dict, stage_sizes: Sequence[int]) -> dict:
+    """Convert an unrolled ArcFace param tree to the ``scan_units`` layout.
+
+    Unrolled: flat ``_IRUnit_{k}`` entries, k counting across stages.
+    Scanned: per stage s, the stride-2 entry unit as ``_IRUnit_{s}`` plus
+    one ``Scan_ScanIR_{i}`` whose ``_IRUnit_0`` leaves carry a leading
+    (blocks-1) axis.  Checkpoints (and the MXNet converter) produce the
+    unrolled layout; apply this before ``ArcFaceResNet100(scan_units=
+    True).apply``.
+    """
+    import jax
+
+    p = dict(params["params"]) if "params" in params else dict(params)
+    out = {k: v for k, v in p.items() if not k.startswith("_IRUnit_")}
+    k = 0
+    scan_idx = 0
+    for s, blocks in enumerate(stage_sizes):
+        out[f"_IRUnit_{s}"] = p[f"_IRUnit_{k}"]
+        if blocks > 1:
+            rest = [p[f"_IRUnit_{k + 1 + b}"] for b in range(blocks - 1)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *rest)
+            out[f"Scan_ScanIR_{scan_idx}"] = {"_IRUnit_0": stacked}
+            scan_idx += 1
+        k += blocks
+    return {"params": out} if "params" in params else out
+
+
+def unstack_ir_params(params: dict, stage_sizes: Sequence[int]) -> dict:
+    """Inverse of ``stack_ir_params`` (scanned layout -> unrolled)."""
+    import jax
+
+    p = dict(params["params"]) if "params" in params else dict(params)
+    out = {k: v for k, v in p.items()
+           if not (k.startswith("_IRUnit_") or k.startswith("Scan_ScanIR_"))}
+    k = 0
+    scan_idx = 0
+    for s, blocks in enumerate(stage_sizes):
+        out[f"_IRUnit_{k}"] = p[f"_IRUnit_{s}"]
+        if blocks > 1:
+            stacked = p[f"Scan_ScanIR_{scan_idx}"]["_IRUnit_0"]
+            for b in range(blocks - 1):
+                out[f"_IRUnit_{k + 1 + b}"] = jax.tree.map(
+                    lambda x, b=b: x[b], stacked)
+            scan_idx += 1
+        k += blocks
+    return {"params": out} if "params" in params else out
 
 
 def ArcFaceResNet50(**kwargs) -> ArcFaceResNet100:

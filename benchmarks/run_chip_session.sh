@@ -35,4 +35,6 @@ run bench_pipeline_sweep 1700 python benchmarks/bench_pipeline_sweep.py
 run bench_pairwise 1700 python benchmarks/bench_pairwise.py
 # 6. r50 embedder pipeline (secondary headline: smaller-backbone option).
 run bench_r50_pipeline 1700 python benchmarks/bench_r50_pipeline.py
+# 7. scan_units compile/runtime tradeoff on the real chip.
+run bench_scan_embed 1700 python benchmarks/bench_scan_embed.py
 echo "DONE $(date)" | tee -a "$OUT/session.log"

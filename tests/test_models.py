@@ -92,6 +92,31 @@ def test_arcface_embeddings_unit_norm(rng):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
 
 
+def test_arcface_scan_units_matches_unrolled(rng):
+    """scan_units runs the same op sequence over stacked params: outputs
+    must match the unrolled model given converted params, and the
+    stack/unstack converters must round-trip exactly (the checkpoint /
+    MXNet-converter layout is the unrolled one)."""
+    from alink_tpu.models import stack_ir_params, unstack_ir_params
+    sizes = (2, 3, 1, 2)
+    unroll = ArcFaceResNet100(stage_sizes=sizes, dtype=jnp.float32)
+    scan = ArcFaceResNet100(stage_sizes=sizes, dtype=jnp.float32,
+                            scan_units=True)
+    x = jax.random.uniform(rng, (2, 112, 112, 3)) * 255.0
+    pu = unroll.init(rng, x[:1])
+    ps = stack_ir_params(pu, sizes)
+    # Layout equals a fresh scanned init (names + leading scan axis).
+    want = jax.eval_shape(scan.init, rng, x[:1])
+    assert (jax.tree.map(lambda a: jnp.asarray(a).shape, ps)
+            == jax.tree.map(lambda a: a.shape, want))
+    np.testing.assert_allclose(np.asarray(scan.apply(ps, x)),
+                               np.asarray(unroll.apply(pu, x)),
+                               atol=1e-5)
+    back = unstack_ir_params(ps, sizes)
+    eq = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)), pu, back)
+    assert all(jax.tree.leaves(eq))
+
+
 def test_pnet_output_grid_stride2_cell12(rng):
     # code/helper.py:109-110 — stride 2, cell 12: out = (in - 12)//2 + 1.
     model = PNet()
