@@ -41,8 +41,12 @@ class FaceModel:
         embed_params,
         cascade_params: MTCNNParams | None = None,
         cfg: CascadeConfig = CascadeConfig(),
+        embedder=None,
     ):
-        self.embedder = ArcFaceResNet100()
+        # Any module with ArcFace's apply(params, images)->(N, D) contract
+        # works: the r34/r50 zoo variants, or scan_units=True for fast
+        # cold starts (params must then be in the stacked layout).
+        self.embedder = embedder if embedder is not None else ArcFaceResNet100()
         self.embed_params = embed_params
         self.cascade_params = cascade_params
         self.cfg = cfg

@@ -37,4 +37,6 @@ run bench_pairwise 1700 python benchmarks/bench_pairwise.py
 run bench_r50_pipeline 1700 python benchmarks/bench_r50_pipeline.py
 # 7. scan_units compile/runtime tradeoff on the real chip.
 run bench_scan_embed 1700 python benchmarks/bench_scan_embed.py
+# 8. scan_units effect on the fused pipeline (compile budget headroom).
+run exp_scan_pipeline 1700 python benchmarks/exp_scan_pipeline.py
 echo "DONE $(date)" | tee -a "$OUT/session.log"
