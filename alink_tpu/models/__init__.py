@@ -20,7 +20,13 @@ committee can stack them on a leading ensemble axis and ``vmap`` the apply
 """
 
 from alink_tpu.models.siamese import SiameseHead, SmallRes, SmallResTower  # noqa: F401
-from alink_tpu.models.resnet import SENet50, VGGFaceResNet50, VGGFace16  # noqa: F401
+from alink_tpu.models.resnet import (  # noqa: F401
+    SENet50,
+    VGGFace16,
+    VGGFaceResNet50,
+    stack_bottleneck_params,
+    unstack_bottleneck_params,
+)
 from alink_tpu.models.arcface import (  # noqa: F401
     ArcFaceResNet34,
     ArcFaceResNet50,

@@ -148,42 +148,17 @@ def stack_ir_params(params: dict, stage_sizes: Sequence[int]) -> dict:
     unrolled layout; apply this before ``ArcFaceResNet100(scan_units=
     True).apply``.
     """
-    import jax
+    from alink_tpu.models.scan_params import stack_unit_params
 
-    p = dict(params["params"]) if "params" in params else dict(params)
-    out = {k: v for k, v in p.items() if not k.startswith("_IRUnit_")}
-    k = 0
-    scan_idx = 0
-    for s, blocks in enumerate(stage_sizes):
-        out[f"_IRUnit_{s}"] = p[f"_IRUnit_{k}"]
-        if blocks > 1:
-            rest = [p[f"_IRUnit_{k + 1 + b}"] for b in range(blocks - 1)]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *rest)
-            out[f"Scan_ScanIR_{scan_idx}"] = {"_IRUnit_0": stacked}
-            scan_idx += 1
-        k += blocks
-    return {"params": out} if "params" in params else out
+    return stack_unit_params(params, stage_sizes, "_IRUnit_", "Scan_ScanIR_")
 
 
 def unstack_ir_params(params: dict, stage_sizes: Sequence[int]) -> dict:
     """Inverse of ``stack_ir_params`` (scanned layout -> unrolled)."""
-    import jax
+    from alink_tpu.models.scan_params import unstack_unit_params
 
-    p = dict(params["params"]) if "params" in params else dict(params)
-    out = {k: v for k, v in p.items()
-           if not (k.startswith("_IRUnit_") or k.startswith("Scan_ScanIR_"))}
-    k = 0
-    scan_idx = 0
-    for s, blocks in enumerate(stage_sizes):
-        out[f"_IRUnit_{k}"] = p[f"_IRUnit_{s}"]
-        if blocks > 1:
-            stacked = p[f"Scan_ScanIR_{scan_idx}"]["_IRUnit_0"]
-            for b in range(blocks - 1):
-                out[f"_IRUnit_{k + 1 + b}"] = jax.tree.map(
-                    lambda x, b=b: x[b], stacked)
-            scan_idx += 1
-        k += blocks
-    return {"params": out} if "params" in params else out
+    return unstack_unit_params(params, stage_sizes, "_IRUnit_",
+                               "Scan_ScanIR_")
 
 
 def ArcFaceResNet50(**kwargs) -> ArcFaceResNet100:

@@ -74,15 +74,34 @@ class _Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class _ScanBottleneck(nn.Module):
+    """lax.scan body over a stage's homogeneous (stride-1, identity-
+    shortcut) bottlenecks — see ``VGGFaceResNet50.scan_units``."""
+
+    filters: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _) -> tuple[jnp.ndarray, None]:
+        return _Bottleneck(self.filters, stride=1, project=False,
+                           dtype=self.dtype)(x), None
+
+
 class VGGFaceResNet50(nn.Module):
     """keras_vggface resnet50 to the flattened avg_pool (2048-d).
 
     Reference: code/siamese.py:203-216 (RESNET50.process, predict bs=128 —
     here the whole batch is one jit'd sharded forward pass).
+
+    ``scan_units=True``: each stage's non-entry bottlenecks run as one
+    ``lax.scan`` over stacked params (smaller HLO, faster compiles —
+    same rationale as ``arcface.ArcFaceResNet100.scan_units``); convert
+    checkpoints with ``models.stack_bottleneck_params``.
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.bfloat16
+    scan_units: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +112,18 @@ class VGGFaceResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         widths = (64, 128, 256, 512)
         for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            if self.scan_units:
+                x = _Bottleneck(w, stride=2 if stage > 0 else 1,
+                                project=True, dtype=self.dtype)(x)
+                if blocks > 1:
+                    body = nn.scan(
+                        _ScanBottleneck,
+                        variable_axes={"params": 0},
+                        split_rngs={"params": True},
+                        length=blocks - 1,
+                    )(w, dtype=self.dtype)
+                    x, _ = body(x, None)
+                continue
             for b in range(blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = _Bottleneck(w, stride=stride, project=(b == 0),
@@ -267,3 +298,19 @@ class VGGFace16(nn.Module):
                 x = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=self.dtype)(x))
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return x.reshape((x.shape[0], -1)).astype(jnp.float32)
+
+
+def stack_bottleneck_params(params: dict, stage_sizes=(3, 4, 6, 3)) -> dict:
+    """VGGFaceResNet50 unrolled param tree -> ``scan_units`` layout."""
+    from alink_tpu.models.scan_params import stack_unit_params
+
+    return stack_unit_params(params, stage_sizes, "_Bottleneck_",
+                             "Scan_ScanBottleneck_")
+
+
+def unstack_bottleneck_params(params: dict, stage_sizes=(3, 4, 6, 3)) -> dict:
+    """Inverse of ``stack_bottleneck_params``."""
+    from alink_tpu.models.scan_params import unstack_unit_params
+
+    return unstack_unit_params(params, stage_sizes, "_Bottleneck_",
+                               "Scan_ScanBottleneck_")

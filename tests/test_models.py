@@ -92,6 +92,28 @@ def test_arcface_embeddings_unit_norm(rng):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
 
 
+def test_resnet50_scan_units_matches_unrolled(rng):
+    """Same scan-vs-unrolled contract for the VGGFace teacher backbone."""
+    from alink_tpu.models import (VGGFaceResNet50, stack_bottleneck_params,
+                                  unstack_bottleneck_params)
+    sizes = (2, 3, 1, 2)
+    unroll = VGGFaceResNet50(stage_sizes=sizes, dtype=jnp.float32)
+    scan = VGGFaceResNet50(stage_sizes=sizes, dtype=jnp.float32,
+                           scan_units=True)
+    x = jax.random.uniform(rng, (2, 64, 64, 3)) * 255.0
+    pu = unroll.init(rng, x[:1])
+    ps = stack_bottleneck_params(pu, sizes)
+    want = jax.eval_shape(scan.init, rng, x[:1])
+    assert (jax.tree.map(lambda a: jnp.asarray(a).shape, ps)
+            == jax.tree.map(lambda a: a.shape, want))
+    np.testing.assert_allclose(np.asarray(scan.apply(ps, x)),
+                               np.asarray(unroll.apply(pu, x)),
+                               rtol=2e-5, atol=2e-4)
+    back = unstack_bottleneck_params(ps, sizes)
+    eq = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)), pu, back)
+    assert all(jax.tree.leaves(eq))
+
+
 def test_arcface_scan_units_matches_unrolled(rng):
     """scan_units runs the same op sequence over stacked params: outputs
     must match the unrolled model given converted params, and the
