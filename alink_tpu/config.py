@@ -146,6 +146,13 @@ class ALinkArcConfig(ALinkConfig):
     # r50 halves the embed FLOPs — see models/arcface.py.
     embed_depth: int = 100
 
+    def __post_init__(self):
+        super().__post_init__()
+        if self.embed_depth not in (34, 50, 100):
+            raise ValueError(
+                f"embed_depth must be 34, 50 or 100 (the LResNet zoo), "
+                f"got {self.embed_depth}")
+
 
 @dataclasses.dataclass(frozen=True)
 class MTPConfig:
@@ -227,3 +234,4 @@ class ExistingALConfig:
     seed: int = 42
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
+    ingest_dct_scale: bool = False  # see ALinkConfig.ingest_dct_scale

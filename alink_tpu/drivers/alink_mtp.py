@@ -166,7 +166,8 @@ def run_alink_mtp(
         test_groups = {}
     if test_groups:
         test_lo = load_person_stacks(list(test_groups.values()),
-                                     (config.low_res, config.low_res))
+                                     (config.low_res, config.low_res),
+                                     dct_scale=config.ingest_dct_scale)
         top1 = gallery_top1(
             smallres_score_fn(state.m2_state, config.low_res), test_lo
         )

@@ -42,10 +42,13 @@ def run_existing_al(
     people = scan_dfw(config.data_dir_prefix, config.train_images_dir,
                       combine_normal_imp=True)
     res = tuple(config.image_res)
+    dct = getattr(config, "ingest_dct_scale", False)
     plain = common.featurize_stacks(
-        load_person_stacks([p.plain for p in people], res), featurize)
+        load_person_stacks([p.plain for p in people], res, dct_scale=dct),
+        featurize)
     imp = common.featurize_stacks(
-        load_person_stacks([p.impostor for p in people], res), featurize)
+        load_person_stacks([p.impostor for p in people], res,
+                           dct_scale=dct), featurize)
 
     # Pretrain-if-missing (existing_al.py:75-83).
     state = common.new_head_state(next(keys), config.feature_res, 0.1)

@@ -37,7 +37,9 @@ def run_existing_al_mtp(
 
     groups = scan_mtp(config.data_dir_prefix)
     lo = load_person_stacks(list(groups.values()),
-                            (config.low_res, config.low_res))
+                            (config.low_res, config.low_res),
+                            dct_scale=getattr(config, "ingest_dct_scale",
+                                              False))
 
     state = make_smallres_state(next(keys), config)
     raw_gen = balanced_pair_batches(config.seed, lo, None, config.batch_size)

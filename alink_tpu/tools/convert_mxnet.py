@@ -34,6 +34,7 @@ CLI: python -m alink_tpu.tools.convert_mxnet arcface model.npz out_ckpt
 from __future__ import annotations
 
 import argparse
+import re
 import struct
 
 import numpy as np
@@ -212,9 +213,11 @@ def infer_stage_sizes(raw: dict) -> tuple[int, ...]:
     Lets one converter cover the whole LResNet zoo the reference's loader
     accepts (face_model.py:28-41): r34 (3, 4, 6, 3), r50 (3, 4, 14, 3),
     r100 (3, 13, 30, 3) — the depth is read off the file, not guessed.
-    Stages/units are 1-based and contiguous in MXNet naming; a gap means
-    a truncated or foreign file, so counting contiguous prefixes (rather
-    than taking the max index) surfaces that as a KeyError downstream.
+    Stages/units are 1-based and contiguous in MXNet naming.  A gap
+    (e.g. stage2 has units 1-4 and 6-13 but no unit5: a pruned or
+    partially-written file) must NOT silently infer a shallower model —
+    every ``stage{s}_unit{u}`` key present in the file is checked
+    against the counted contiguous prefix and any orphan raises.
     """
     sizes = []
     for s in range(1, 99):
@@ -227,6 +230,17 @@ def infer_stage_sizes(raw: dict) -> tuple[int, ...]:
     if not sizes:
         raise KeyError("no stage{s}_unit{u} parameters found — not an "
                        "LResNet checkpoint")
+    pat = re.compile(r"stage(\d+)_unit(\d+)_")
+    for key in raw:
+        m = pat.match(key)
+        if m:
+            s, u = int(m.group(1)), int(m.group(2))
+            if s < 1 or s > len(sizes) or u < 1 or u > sizes[s - 1]:
+                raise KeyError(
+                    f"checkpoint has {key!r} outside the contiguous "
+                    f"stage/unit grid {tuple(sizes)} — truncated or "
+                    "non-LResNet file; pass stage_sizes explicitly if "
+                    "this layout is intentional")
     return tuple(sizes)
 
 

@@ -230,6 +230,11 @@ def fit(
     plateau-LR exactly as the reference callbacks.
     """
     n = labels.shape[0]
+    if n == 0:
+        # A zero-example fit would run one step on an empty batch whose
+        # mean-loss is NaN and silently poison every parameter; Keras
+        # raises here too.
+        raise ValueError("fit() called with zero examples")
     # Keras slices train first: split_at = int(n * (1 - split)).
     n_train = int(n * (1.0 - validation_split)) if validation_split else n
     if n_train == 0:

@@ -84,8 +84,7 @@ def main():
                 return jnp.mean(b) + jnp.mean(l)
             return jnp.mean(jax.vmap(one)(im))
 
-        fm = FaceModel(eparams, params, cfg)
-        fm.embedder = embedder
+        fm = FaceModel(eparams, params, cfg, embedder=embedder)
 
         def full(im):
             return jnp.mean(fm.pipeline(eparams, params, im))

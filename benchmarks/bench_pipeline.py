@@ -51,8 +51,7 @@ def main():
         ("worst_case",
          CascadeConfig.worst_case(thresholds=(0.0, 0.0, 0.0))),
     ):
-        fm = FaceModel(eparams, cparams, cfg)
-        fm.embedder = embedder
+        fm = FaceModel(eparams, cparams, cfg, embedder=embedder)
 
         # Chain iterations inside one jit (scalar fold-back serialises
         # them) and subtract the dispatch+fetch latency measured with

@@ -43,8 +43,7 @@ def main():
                             jnp.zeros((1, 112, 112, 3)))
     cparams = init_cascade_params(jax.random.PRNGKey(1))
     cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
-    fm = FaceModel(eparams, cparams, cfg)
-    fm.embedder = embedder
+    fm = FaceModel(eparams, cparams, cfg, embedder=embedder)
 
     for batch in batches:
         x = jax.random.uniform(jax.random.PRNGKey(2),

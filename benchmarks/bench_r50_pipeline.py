@@ -46,8 +46,7 @@ def main():
     iters = 20 if on_tpu else 1
 
     cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
-    fm = FaceModel(eparams, cparams, cfg)
-    fm.embedder = embedder
+    fm = FaceModel(eparams, cparams, cfg, embedder=embedder)
 
     @jax.jit
     def chain(imgs, n):

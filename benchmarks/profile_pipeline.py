@@ -93,8 +93,7 @@ def main():
     embed = lambda c: embedder.apply(eparams, c[:, 0])
 
     from alink_tpu.detect import FaceModel
-    fm = FaceModel(eparams, cparams, cfg)
-    fm.embedder = embedder
+    fm = FaceModel(eparams, cparams, cfg, embedder=embedder)
     whole = lambda im: fm.pipeline(eparams, cparams, im)
 
     out = {

@@ -95,6 +95,13 @@ def test_stage_size_inference_covers_the_zoo():
     assert _tree_shapes(tree) == _tree_shapes(want)
     with pytest.raises(KeyError):
         cm.infer_stage_sizes({"conv0_weight": raw["conv0_weight"]})
+    # A gap in the unit numbering must raise, not silently infer a
+    # shallower model (stage 3 here has units 1-3; dropping unit 2
+    # leaves orphans 3 at a counted prefix of 1).
+    gapped = {k: v for k, v in raw.items()
+              if not k.startswith("stage3_unit2_")}
+    with pytest.raises(KeyError, match="contiguous"):
+        cm.infer_stage_sizes(gapped)
 
 
 def test_arcface_variant_factories():

@@ -61,6 +61,14 @@ class TestFlagParsing:
         with pytest.raises(ValueError):
             parse_config(["--eps", "0.7"])
 
+    def test_embed_depth_validated(self):
+        cfg = parse_config(["--embed_depth", "50"],
+                           config_cls=ALinkArcConfig)
+        assert cfg.embed_depth == 50
+        with pytest.raises(ValueError, match="embed_depth"):
+            parse_config(["--embed_depth", "18"],
+                         config_cls=ALinkArcConfig)
+
 
 class TestALinkDriver:
     def test_end_to_end(self, dfw_root, tmp_path):

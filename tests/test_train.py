@@ -129,6 +129,14 @@ class TestFit:
         assert len(logs) == 2
         assert np.isfinite(logs[-1].val_loss)
 
+    def test_fit_zero_examples_raises(self, state):
+        """n=0 would NaN-poison the state via a mean over an empty batch;
+        it must raise instead (Keras does too)."""
+        left, right, y = _toy_pairs(jax.random.PRNGKey(11), 1)
+        with pytest.raises(ValueError, match="zero examples"):
+            T.fit(state, left[:0], right[:0], y[:0], epochs=1,
+                  batch_size=32, key=jax.random.PRNGKey(12))
+
     def test_early_stop_fires(self, state):
         """With patience 5 and min_delta 0.1, a flat val loss stops after
         5 stalled epochs (Keras checks wait >= patience after the
