@@ -145,6 +145,10 @@ class ALinkArcConfig(ALinkConfig):
     # downloaded, face_model.py:28-41; r100 is its de-facto default).
     # r50 halves the embed FLOPs — see models/arcface.py.
     embed_depth: int = 100
+    # Compile each stage's stride-1 IR units as one lax.scan body:
+    # ~5x faster cold-start compiles, identical numerics (docs/TUNING.md
+    # "Compilation").  Checkpoints restore through models.stack_ir_params.
+    embed_scan_units: bool = False
 
     def __post_init__(self):
         super().__post_init__()

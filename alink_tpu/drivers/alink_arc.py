@@ -25,15 +25,23 @@ _DEPTHS = {34: ArcFaceResNet34, 50: ArcFaceResNet50,
            100: ArcFaceResNet100}
 
 
-def make_arcface_featurizer(key: jax.Array, params=None, depth: int = 100):
+def make_arcface_featurizer(key: jax.Array, params=None, depth: int = 100,
+                            scan_units: bool = False):
     """Batched 512-d ArcFace embedder (face_model.py:86-93 without the
     batch=1 limit).  Random params unless given (pretrained weights
     restore via train.checkpoint).  ``depth`` picks the LResNet zoo
     member (34/50/100) matching whichever checkpoint the deployment
-    converted — the reference's --model flag plays the same role."""
-    model = _DEPTHS[depth]()
+    converted — the reference's --model flag plays the same role.
+    ``scan_units`` compiles each stage as one scan body (fast cold
+    start); ``params`` given in the standard unrolled layout are
+    converted automatically."""
+    model = _DEPTHS[depth](scan_units=scan_units)
     if params is None:
         params = model.init(key, jnp.zeros((1, 112, 112, 3), jnp.float32))
+    elif scan_units:
+        from alink_tpu.models import stack_ir_params
+
+        params = stack_ir_params(params, model.stage_sizes)
 
     @jax.jit
     def featurize(images):
@@ -45,7 +53,8 @@ def make_arcface_featurizer(key: jax.Array, params=None, depth: int = 100):
 def main(argv=None) -> None:
     config = parse_config(argv, config_cls=ALinkArcConfig)
     featurize, _ = make_arcface_featurizer(
-        jax.random.PRNGKey(config.seed + 100), depth=config.embed_depth
+        jax.random.PRNGKey(config.seed + 100), depth=config.embed_depth,
+        scan_units=config.embed_scan_units
     )
     run_alink(config, featurize=featurize)
 
