@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any, Callable, Iterable, Iterator
 
 import jax
@@ -66,6 +67,7 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._transfer = transfer
+        self._done = False
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(iter(iterable),), daemon=True)
@@ -97,8 +99,13 @@ class DevicePrefetcher:
         return self
 
     def __next__(self) -> Any:
+        if self._done:
+            # Sticky: every next() after exhaustion/close terminates,
+            # including calls after the _DONE sentinel was consumed.
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
             raise item
@@ -107,18 +114,32 @@ class DevicePrefetcher:
     def close(self) -> None:
         """Stop the worker (for abandoning an iteration early)."""
         self._stop.set()
-        # Drain so a worker blocked on put() can see the stop flag.
+        # Drain until the worker is actually dead: a worker mid-put can
+        # still land one item AFTER a single drain pass (it only checks
+        # the stop flag after the put succeeds), which on a full queue
+        # used to swallow the _DONE sentinel below and leave a later
+        # consumer blocked forever in __next__.
+        deadline = time.monotonic() + 10.0
+        while self._thread.is_alive() and time.monotonic() < deadline:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
+        # Deadline path: a daemon worker wedged inside a transfer (e.g. a
+        # dead device link) is abandoned rather than hanging close() too.
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=5.0)
-        # A consumer that keeps iterating after close() must terminate,
-        # not block on an empty queue.
+        # Worker dead (or abandoned) + queue drained: any consumer blocked
+        # in __next__ wakes into StopIteration.
+        self._done = True
         try:
             self._q.put_nowait(self._DONE)
-        except queue.Full:
+        except queue.Full:  # only reachable on the abandoned-worker path
             pass
 
     def __enter__(self) -> "DevicePrefetcher":

@@ -74,6 +74,28 @@ class TestDevicePrefetcher:
             while True:
                 next(it)
 
+    def test_close_then_next_race_terminates(self):
+        """Regression (hung the whole suite once): the worker can land
+        one more item AFTER close()'s drain pass — it checks the stop
+        flag only after a successful put — filling the depth-1 queue so
+        the _DONE sentinel was dropped and the next consumer blocked
+        forever.  Iterate the race repeatedly; a bounded watcher thread
+        turns any regression into a failure instead of a hang."""
+        for round_ in range(30):
+            it = DevicePrefetcher(iter([np.ones((1,))] * 5), depth=1)
+            next(it)
+            it.close()
+            out = []
+            t = threading.Thread(target=lambda: out.append(
+                sum(1 for _ in it)), daemon=True)
+            t.start()
+            t.join(timeout=10.0)
+            assert not t.is_alive(), (
+                f"iteration after close() hung (round {round_})")
+            # Sticky exhaustion: further next() calls keep terminating.
+            with pytest.raises(StopIteration):
+                next(it)
+
     def test_context_manager(self):
         with prefetch_to_device([np.ones((1,))] * 3, depth=1) as it:
             first = next(it)
