@@ -329,6 +329,51 @@ def detect_faces_limited(
     return Detections(boxes=bb, scores=ss, landmarks=lmk, valid=vv)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def profile_cascade(
+    params: MTCNNParams,
+    images: jnp.ndarray,
+    cfg: CascadeConfig = CascadeConfig(),
+) -> dict:
+    """Per-image candidate counts at each cascade point.
+
+    For budget calibration (``tools/calibrate_budgets.py``): run with
+    generous budgets and the deployment's real thresholds on a workload
+    sample, then size ``CascadeConfig`` budgets off the returned
+    distributions.  Keys:
+
+    - ``scale_raw_max``: (N,) the LARGEST per-pyramid-level count of
+      P-Net cells above threshold — computed straight off the
+      probability map, so it is exact regardless of
+      ``stage1_scale_budget``; sizes that budget.
+    - ``stage1``/``stage2``/``stage3``: (N,) surviving candidates after
+      each stage under ``cfg``'s budgets (a count equal to the budget
+      means the budget may have truncated — raise it and re-profile).
+    """
+    h, w = images.shape[1], images.shape[2]
+    scales = [s for s in pyramid_scales(h, w, cfg.min_size, cfg.factor)
+              if int(math.ceil(h * s)) >= 12 and int(math.ceil(w * s)) >= 12]
+
+    def single(img):
+        raw = []
+        for scale in scales:
+            sh, sw = int(math.ceil(h * scale)), int(math.ceil(w * scale))
+            prob, _ = _PNET.apply(params.pnet,
+                                  preprocess.mtcnn(resize(img, (sh, sw)))[None])
+            raw.append(jnp.sum(prob[0, ..., 1] > cfg.thresholds[0]))
+        scale_raw_max = (jnp.max(jnp.stack(raw)) if raw
+                         else jnp.zeros((), jnp.int32))
+        b, s, v = _stage1(params, img, cfg, h, w)
+        c1 = jnp.sum(v)
+        b, s, v = _stage2(params, img, b, s, v, cfg)
+        c2 = jnp.sum(v)
+        _, _, v, _ = _stage3(params, img, b, s, v, cfg)
+        return scale_raw_max, c1, c2, jnp.sum(v)
+
+    raw, c1, c2, c3 = jax.vmap(single)(images)
+    return {"scale_raw_max": raw, "stage1": c1, "stage2": c2, "stage3": c3}
+
+
 @partial(jax.jit, static_argnames=("output_size",))
 def align_faces(
     images: jnp.ndarray,

@@ -261,3 +261,49 @@ class TestEvaluateOneShot:
         from alink_tpu.tools import evaluate
         with pytest.raises(SystemExit):
             evaluate.main(["--model_ckpt", "x", "--mask", "y"])
+
+
+class TestCalibrateBudgets:
+    def test_profile_and_recommend_structure(self):
+        """profile_cascade counts respect budgets; recommend() is
+        monotone along the cascade and flags saturated profiling runs."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from alink_tpu.detect import CascadeConfig, init_cascade_params
+        from alink_tpu.detect.cascade import profile_cascade
+        from alink_tpu.tools.calibrate_budgets import recommend
+
+        cfg = CascadeConfig.worst_case(min_size=40,
+                                       thresholds=(0.0, 0.0, 0.0))
+        params = init_cascade_params(jax.random.PRNGKey(1))
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (3, 64, 64, 3),
+                                  jnp.float32, 0.0, 255.0)
+        prof = profile_cascade(params, imgs, cfg)
+        assert set(prof) == {"scale_raw_max", "stage1", "stage2", "stage3"}
+        assert all(v.shape == (3,) for v in prof.values())
+        assert int(np.max(np.asarray(prof["stage1"]))) <= cfg.stage1_budget
+        # Survivors can only shrink along the cascade.
+        assert np.all(np.asarray(prof["stage2"])
+                      <= np.asarray(prof["stage1"]))
+        assert np.all(np.asarray(prof["stage3"])
+                      <= np.asarray(prof["stage2"]))
+
+        rec, warnings = recommend(prof, cfg, quantile=0.99, headroom=2.0)
+        assert rec["stage2_budget"] <= rec["stage1_budget"]
+        assert rec["stage3_budget"] <= rec["stage2_budget"]
+        assert warnings == []
+
+        # Saturation: a fake profile pinned at the budget must warn.
+        fake = dict(prof)
+        fake["stage2"] = jnp.full((3,), cfg.stage2_budget)
+        _, warns = recommend(fake, cfg, quantile=0.99, headroom=2.0)
+        assert any("stage2" in w for w in warns)
+
+    def test_cli_synthetic_smoke(self, capsys):
+        from alink_tpu.tools.calibrate_budgets import main
+        main(["--sample", "2", "--image_res", "64",
+              "--thresholds", "0.0", "0.0", "0.0"])
+        out = capsys.readouterr().out
+        assert "Recommended config" in out
+        assert "stage1_scale_budget" in out
