@@ -544,6 +544,11 @@ class ALinkLoop:
         loop_tree, ok2 = maybe_restore(os.path.join(path, "loop"))
         if not (ok and ok2):
             return False
+        # Strip device placement: a checkpoint written while training under
+        # an N-device mesh records that sharding, but an elastic restart
+        # may resume with fewer surviving devices — host arrays re-place
+        # lazily under whatever mesh the resumed jits run in.
+        m2_tree = jax.tree.map(np.asarray, m2_tree)
         s.m2_state = s.m2_state.replace(params=m2_tree["params"],
                                         opt_state=m2_tree["opt_state"])
         counters = np.asarray(loop_tree["counters"])

@@ -226,3 +226,86 @@ class TestDistributed:
 
         s = process_shard(103)
         assert s == slice(0, 103)  # single process owns everything
+
+
+class TestElasticRestart:
+    """SURVEY.md section 5.3, elastic recovery: a loop checkpoint written
+    while featurizing over the full mesh must resume EXACTLY under a
+    smaller mesh (the supervised-restart path after losing devices:
+    create_mesh((-1,)) re-infers the data axis from whatever survives,
+    and checkpoints carry no device layout)."""
+
+    def _make_loop(self, mesh):
+        from alink_tpu import train as T
+        from alink_tpu.active import ALinkLoop, Committee
+        from alink_tpu.config import ALinkConfig
+        from alink_tpu.data import PersonStacks
+
+        size = 4
+        d = size * size * 3
+        head = SiameseHead(widths=(16, 8), dtype=jnp.float32)
+        m2 = T.create_train_state(head, jax.random.PRNGKey(0),
+                                  jnp.zeros((2, d)), jnp.zeros((2, d)))
+        p0 = head.init(jax.random.PRNGKey(1), jnp.zeros((1, d)),
+                       jnp.zeros((1, d)))
+        com = Committee.from_param_list(head, [p0],
+                                        noise_names=("gaussian",))
+        cfg = ALinkConfig(noise=("gaussian",), image_res=(size, size),
+                          feature_res=d, alink_bs=2, batch_send=4,
+                          ft_epochs=1, mixture_ratio=1,
+                          disparity_ratio=0.9, eps=0.01)
+
+        def featurize(imgs):
+            return sharded_featurize(
+                mesh, lambda x: x.reshape(x.shape[0], -1), imgs)
+
+        def replay():
+            rng = np.random.default_rng(3)
+            while True:
+                left = rng.random((8, d)).astype(np.float32)
+                right = rng.random((8, d)).astype(np.float32)
+                yield (left, right), (rng.random(8) > 0.5).astype(np.int32)
+
+        loop = ALinkLoop(cfg, featurize=featurize, committee=com,
+                         m2_state=m2, replay_gen=replay(),
+                         key=jax.random.PRNGKey(4))
+        rng = np.random.default_rng(5)
+        people = 6
+        plain = PersonStacks(
+            rng.random((people, 2, size, size, 3)).astype(np.float32) * 255,
+            np.full(people, 2, np.int32))
+        dig = PersonStacks(
+            rng.random((people, 2, size, size, 3)).astype(np.float32) * 255,
+            np.full(people, 2, np.int32))
+        return loop, plain, dig
+
+    def test_checkpoint_resumes_under_smaller_mesh(self, mesh8, tmp_path):
+        # Ground truth: uninterrupted run, all 8 devices.
+        loop_a, plain, dig = self._make_loop(mesh8)
+        with jax.set_mesh(mesh8):
+            state_a = loop_a.run(plain, dig,
+                                 checkpoint_path=str(tmp_path / "gt"))
+
+        # Interrupted run on the full mesh: one slab, then "crash".
+        path = str(tmp_path / "elastic")
+        loop_b, _, _ = self._make_loop(mesh8)
+        with jax.set_mesh(mesh8):
+            loop_b.run_iteration(plain.take_people([0, 1]),
+                                 dig.take_people([0, 1]))
+        loop_b.state.pool_cursor = loop_b.config.alink_bs
+        loop_b.save(path)
+        del loop_b
+
+        # Restart with half the devices gone: 4-device mesh, exact resume.
+        mesh4 = create_mesh((-1,), devices=jax.devices()[:4])
+        loop_c, _, _ = self._make_loop(mesh4)
+        with jax.set_mesh(mesh4):
+            state_c = loop_c.run(plain, dig, checkpoint_path=path)
+
+        assert state_c.active_count == state_a.active_count
+        assert state_c.un_size == state_a.un_size
+        assert state_c.pool_cursor == state_a.pool_cursor
+        for a, c in zip(jax.tree.leaves(state_a.m2_state.params),
+                        jax.tree.leaves(state_c.m2_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-6)
