@@ -383,3 +383,168 @@ def test_arcface_ir_stage_with_identity_shortcuts_matches_torch():
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# SENet50 (keras_vggface senet50 topology: code/model.py:126-141)
+# ---------------------------------------------------------------------------
+
+
+class TorchSEBottleneck(tnn.Module):
+    def __init__(self, cin, f, stride=1, project=False, reduction=16):
+        super().__init__()
+        self.project = project
+        self.conv1 = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
+        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.conv2 = tnn.Conv2d(f, f, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.conv3 = tnn.Conv2d(f, 4 * f, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-5)
+        self.fc1 = tnn.Linear(4 * f, 4 * f // reduction)
+        self.fc2 = tnn.Linear(4 * f // reduction, 4 * f)
+        if project:
+            self.conv_sc = tnn.Conv2d(cin, 4 * f, 1, stride=stride,
+                                      bias=False)
+            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-5)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        se = y.mean(dim=(2, 3))
+        se = torch.sigmoid(self.fc2(torch.relu(self.fc1(se))))
+        y = y * se[:, :, None, None]
+        sc = self.bn_sc(self.conv_sc(x)) if self.project else x
+        return torch.relu(y + sc)
+
+
+class TorchSENet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        blocks = []
+        cin = 64
+        for stage, (n, f) in enumerate(zip((3, 4, 6, 3),
+                                           (64, 128, 256, 512))):
+            for b in range(n):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                blocks.append(TorchSEBottleneck(cin, f, stride=stride,
+                                                project=(b == 0)))
+                cin = 4 * f
+        self.blocks = tnn.ModuleList(blocks)
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for blk in self.blocks:
+            x = blk(x)
+        return x.mean(dim=(2, 3))
+
+
+def _port_dense(tlin):
+    return {"kernel": jnp.asarray(tlin.weight.detach().numpy().T),
+            "bias": jnp.asarray(tlin.bias.detach().numpy())}
+
+
+def test_senet50_matches_torch_reference():
+    """SE gate conventions (post-bn3 pre-add, f32 MLP, reduction 16)
+    asserted against an independent PyTorch build of the topology."""
+    from alink_tpu.models import SENet50
+
+    torch.manual_seed(1)
+    tmodel = TorchSENet50().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    model = SENet50(dtype=jnp.float32)
+    flax_init = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    p = dict(flax_init["params"])
+    p["Conv_0"] = {"kernel": _port_conv(tmodel.conv1)}
+    p["_FrozenBN_0"] = _port_bn(tmodel.bn1)
+    for i, blk in enumerate(tmodel.blocks):
+        bp = {
+            "Conv_0": {"kernel": _port_conv(blk.conv1)},
+            "_FrozenBN_0": _port_bn(blk.bn1),
+            "Conv_1": {"kernel": _port_conv(blk.conv2)},
+            "_FrozenBN_1": _port_bn(blk.bn2),
+            "Conv_2": {"kernel": _port_conv(blk.conv3)},
+            "_FrozenBN_2": _port_bn(blk.bn3),
+            "Dense_0": _port_dense(blk.fc1),
+            "Dense_1": _port_dense(blk.fc2),
+        }
+        if blk.project:
+            bp["Conv_3"] = {"kernel": _port_conv(blk.conv_sc)}
+            bp["_FrozenBN_3"] = _port_bn(blk.bn_sc)
+        p[f"_SEBottleneck_{i}"] = bp
+    params = {"params": p}
+    assert jax.tree.structure(params) == jax.tree.structure(flax_init)
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# VGGFace16 (keras_vggface vgg16 topology: code/siamese.py:187-200)
+# ---------------------------------------------------------------------------
+
+
+class TorchVGG16(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        convs = []
+        cin = 3
+        for widths in ((64, 64), (128, 128), (256, 256, 256),
+                       (512, 512, 512), (512, 512, 512)):
+            for w in widths:
+                convs.append(tnn.Conv2d(cin, w, 3, padding=1))
+                cin = w
+        self.convs = tnn.ModuleList(convs)
+        self.group_sizes = [2, 2, 3, 3, 3]
+
+    def forward(self, x):
+        i = 0
+        for n in self.group_sizes:
+            for _ in range(n):
+                x = torch.relu(self.convs[i](x))
+                i += 1
+            x = torch.max_pool2d(x, 2, stride=2)
+        return x.flatten(1)
+
+
+def test_vgg16_matches_torch_reference():
+    from alink_tpu.models import VGGFace16
+
+    torch.manual_seed(2)
+    tmodel = TorchVGG16().eval()
+    model = VGGFace16(dtype=jnp.float32)
+    flax_init = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    p = dict(flax_init["params"])
+    for i, conv in enumerate(tmodel.convs):
+        p[f"Conv_{i}"] = {"kernel": _port_conv(conv),
+                          "bias": jnp.asarray(conv.bias.detach().numpy())}
+    params = {"params": p}
+    assert jax.tree.structure(params) == jax.tree.structure(flax_init)
+
+    x = np.random.default_rng(2).normal(0, 1, (2, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    # NHWC flatten vs NCHW flatten order differs; compare via the spatial
+    # grid (here 1x1 after five pools at 32.. so orders coincide), but
+    # keep the general reshape for other input sizes.
+    h = w = 32 // 32
+    want = want.reshape(2, 512, h, w).transpose(0, 2, 3, 1).reshape(2, -1)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
