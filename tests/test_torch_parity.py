@@ -529,7 +529,7 @@ def test_vgg16_matches_torch_reference():
     tmodel = TorchVGG16().eval()
     model = VGGFace16(dtype=jnp.float32)
     flax_init = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
     p = dict(flax_init["params"])
     for i, conv in enumerate(tmodel.convs):
         p[f"Conv_{i}"] = {"kernel": _port_conv(conv),
@@ -537,14 +537,14 @@ def test_vgg16_matches_torch_reference():
     params = {"params": p}
     assert jax.tree.structure(params) == jax.tree.structure(flax_init)
 
-    x = np.random.default_rng(2).normal(0, 1, (2, 32, 32, 3)).astype(
+    # 64 input -> 2x2x512 pool5 grid, so the flatten-order assertion is
+    # non-trivial: Keras/flax flatten NHWC (the reference's channels_last
+    # Flatten, siamese.py:190), torch flattens NCHW — transpose torch's
+    # grid into NHWC before comparing.
+    x = np.random.default_rng(2).normal(0, 1, (2, 64, 64, 3)).astype(
         np.float32)
     with torch.no_grad():
         want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)))
-    # NHWC flatten vs NCHW flatten order differs; compare via the spatial
-    # grid (here 1x1 after five pools at 32.. so orders coincide), but
-    # keep the general reshape for other input sizes.
-    h = w = 32 // 32
-    want = want.reshape(2, 512, h, w).transpose(0, 2, 3, 1).reshape(2, -1)
+    want = want.reshape(2, 512, 2, 2).transpose(0, 2, 3, 1).reshape(2, -1)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
