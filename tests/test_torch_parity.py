@@ -548,3 +548,57 @@ def test_vgg16_matches_torch_reference():
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     want = want.reshape(2, 512, 2, 2).transpose(0, 2, 3, 1).reshape(2, -1)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# SmallRes student tower (code/siamese.py:139-156)
+# ---------------------------------------------------------------------------
+
+
+class TorchSmallResTower(tnn.Module):
+    def __init__(self, in_hw, feature_dim=64):
+        super().__init__()
+        self.c1 = tnn.Conv2d(3, 32, 3, padding=1)
+        self.c2 = tnn.Conv2d(32, 32, 3)          # valid
+        self.c3 = tnn.Conv2d(32, 64, 3, padding=1)
+        self.c4 = tnn.Conv2d(64, 64, 3)          # valid
+        s = (in_hw - 2) // 2
+        s = (s - 2) // 2
+        self.fc = tnn.Linear(64 * s * s, feature_dim)
+        self._grid = s
+
+    def forward(self, x):
+        x = torch.relu(self.c2(torch.relu(self.c1(x))))
+        x = torch.max_pool2d(x, 2, 2)
+        x = torch.relu(self.c4(torch.relu(self.c3(x))))
+        x = torch.max_pool2d(x, 2, 2)
+        # NHWC flatten (Keras channels_last) before the dense.
+        x = x.permute(0, 2, 3, 1).flatten(1)
+        return torch.relu(self.fc(x))
+
+
+def test_smallres_tower_matches_torch_reference():
+    """SAME/VALID padding mix, pool placement and the channels_last
+    flatten of the student tower, vs an independent torch build."""
+    from alink_tpu.models.siamese import SmallResTower
+
+    torch.manual_seed(3)
+    hw = 20
+    tmodel = TorchSmallResTower(hw, feature_dim=64).eval()
+    model = SmallResTower(feature_dim=64, dtype=jnp.float32)
+    flax_init = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, hw, hw, 3), jnp.float32))
+    p = dict(flax_init["params"])
+    for i, conv in enumerate((tmodel.c1, tmodel.c2, tmodel.c3, tmodel.c4)):
+        p[f"Conv_{i}"] = {"kernel": _port_conv(conv),
+                          "bias": jnp.asarray(conv.bias.detach().numpy())}
+    p["Dense_0"] = _port_dense(tmodel.fc)
+    params = {"params": p}
+    assert jax.tree.structure(params) == jax.tree.structure(flax_init)
+
+    x = np.random.default_rng(3).normal(0, 1, (2, hw, hw, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
