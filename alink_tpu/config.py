@@ -104,6 +104,10 @@ class ALinkConfig:
     # default — the scaled decode approximates the full-resolution
     # pixels, so keep it off when bit-parity with the PIL path matters.
     ingest_dct_scale: bool = False
+    # Compile the frozen teacher featurizer's residual stages as lax.scan
+    # bodies: ~5x faster cold-start compile, identical numerics
+    # (docs/TUNING.md "Compilation").
+    featurize_scan_units: bool = False
 
     def __post_init__(self):
         if not (0.0 <= self.split_ratio <= 1.0):  # ALINK.py:74
@@ -202,6 +206,7 @@ class MTPConfig:
     dtype: str = "bfloat16"
     device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
     ingest_dct_scale: bool = False  # see ALinkConfig.ingest_dct_scale
+    featurize_scan_units: bool = False  # see ALinkConfig.featurize_scan_units
     loop_checkpoint: str = ""  # see ALinkConfig.loop_checkpoint
     checkpoint_every: int = 1
     train_steps: int = 320000  # see ALinkConfig.train_steps
@@ -239,3 +244,4 @@ class ExistingALConfig:
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
     ingest_dct_scale: bool = False  # see ALinkConfig.ingest_dct_scale
+    featurize_scan_units: bool = False  # see ALinkConfig.featurize_scan_units

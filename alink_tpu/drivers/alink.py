@@ -105,7 +105,9 @@ def run_alink(
               f"({config.synthetic_people} people)")
 
     if featurize is None:
-        featurize, _ = common.make_resnet50_featurizer(next(keys))
+        featurize, _ = common.make_resnet50_featurizer(
+            next(keys),
+            scan_units=getattr(config, 'featurize_scan_units', False))
 
     data = common.load_dfw(config, featurize)
     dig_pre, dig_post_raw = common.split_pools(config, data)

@@ -78,7 +78,9 @@ def run_alink_mtp(
     keys = iter(jax.random.split(key, 16))
 
     if featurize is None:
-        featurize, _ = common.make_resnet50_featurizer(next(keys))
+        featurize, _ = common.make_resnet50_featurizer(
+            next(keys),
+            scan_units=getattr(config, 'featurize_scan_units', False))
 
     # Subject pool (readMTP.readAllImages) at teacher resolution.
     groups = scan_mtp(config.data_dir_prefix)

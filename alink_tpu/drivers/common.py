@@ -41,14 +41,21 @@ class DFWData:
 
 
 def make_resnet50_featurizer(
-    key: jax.Array, params=None, dtype=jnp.bfloat16
+    key: jax.Array, params=None, dtype=jnp.bfloat16,
+    scan_units: bool = False
 ) -> tuple[Callable, dict]:
     """The VGGFace-ResNet50 2048-d teacher featurizer (siamese.py:203-216),
     jit'd with its preprocessing fused in.  Random params unless given
-    (pretrained weights restore via train.checkpoint)."""
-    model = VGGFaceResNet50(dtype=dtype)
+    (pretrained weights restore via train.checkpoint).  ``scan_units``
+    compiles each residual stage as one scan body (fast cold start);
+    unrolled-layout ``params`` convert automatically."""
+    model = VGGFaceResNet50(dtype=dtype, scan_units=scan_units)
     if params is None:
         params = model.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    elif scan_units:
+        from alink_tpu.models import stack_bottleneck_params
+
+        params = stack_bottleneck_params(params, model.stage_sizes)
 
     @jax.jit
     def featurize(images):

@@ -35,7 +35,9 @@ def run_existing_al(
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     keys = iter(jax.random.split(key, 8))
     if featurize is None:
-        featurize, _ = common.make_resnet50_featurizer(next(keys))
+        featurize, _ = common.make_resnet50_featurizer(
+            next(keys),
+            scan_units=getattr(config, 'featurize_scan_units', False))
 
     # combine_normal_imp=True folds disguised faces into the normal group
     # (existing_al.py:62, readDFW.py:87-94).
