@@ -349,9 +349,13 @@ def onet_param_tree(raw: dict) -> dict:
 
 
 def lnet_param_tree(raw: dict) -> dict:
-    """det4: RNet-shaped tower on 15-channel patch stacks, 10-d offsets."""
-    return _rnet_like_tree(raw, (64, 3, 3), "conv4",
-                           [("Dense_1", "conv5_1")])
+    """det4: RNet-shaped tower on 15-channel patch stacks, with FIVE
+    per-landmark (dx, dy) heads — the reference consumes a 5-list of
+    (N, 2) outputs (mtcnn_detector.py:498-508), and ``models.LNet``
+    declares ``Dense_1..Dense_5`` accordingly."""
+    heads = [(f"Dense_{i}", _first(raw, f"conv5_{i}", f"fc5_{i}"))
+             for i in range(1, 6)]
+    return _rnet_like_tree(raw, (64, 3, 3), "conv4", heads)
 
 
 _CONVERTERS = {
@@ -368,8 +372,18 @@ def main(argv=None) -> None:
     ap.add_argument("model", choices=sorted(_CONVERTERS))
     ap.add_argument("src", help=".npz or MXNet .params file")
     ap.add_argument("out", help="orbax checkpoint directory")
+    ap.add_argument("--stage_sizes", default=None,
+                    help="arcface only: comma-separated unit counts "
+                         "(e.g. 3,13,30,3) to override depth inference "
+                         "for non-standard checkpoints")
     args = ap.parse_args(argv)
-    tree = _CONVERTERS[args.model](load_raw(args.src))
+    if args.stage_sizes is not None:
+        if args.model != "arcface":
+            ap.error("--stage_sizes only applies to the arcface converter")
+        sizes = tuple(int(s) for s in args.stage_sizes.split(","))
+        tree = arcface_param_tree(load_raw(args.src), stage_sizes=sizes)
+    else:
+        tree = _CONVERTERS[args.model](load_raw(args.src))
     from alink_tpu.train.checkpoint import save
 
     save(args.out, tree)

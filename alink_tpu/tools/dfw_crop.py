@@ -37,23 +37,31 @@ def crop_images(prefix: str, dir_path: str, face_boxes: dict,
     for im_path in sorted(os.listdir(full_dir)):
         partial = os.path.join(dir_path, im_path)
         full = lookup_file(os.path.join(prefix, partial))
+        if full is None or partial not in face_boxes:
+            # Not a decode failure: the image may be perfectly fine and
+            # merely missing a box-file entry — never delete it.
+            problems += 1
+            continue
         try:
-            if full is None or partial not in face_boxes:
-                raise FileNotFoundError(partial)
             with Image.open(full) as im:
                 img = im.convert("RGB")
-            x1, y1, x2, y2 = face_boxes[partial]
-            img = img.crop((x1, y1, x2, y2))
-            if out_prefix is None:
-                img.save(full)  # in-place (reference behaviour)
-            else:
-                dst = os.path.join(out_prefix, partial)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                img.save(dst)
         except Exception:
+            # Only genuinely unreadable images are delete_bad candidates
+            # (the reference deletes exactly these, readDFW.py:40-43).
             problems += 1
-            if delete_bad and full is not None and os.path.exists(full):
-                os.remove(full)  # readDFW.py:41 deletes unreadable files
+            if delete_bad and os.path.exists(full):
+                os.remove(full)
+            continue
+        # Downstream failures (bad box, save error, full disk) must
+        # propagate, not destroy the readable source image.
+        x1, y1, x2, y2 = face_boxes[partial]
+        img = img.crop((x1, y1, x2, y2))
+        if out_prefix is None:
+            img.save(full)  # in-place (reference behaviour)
+        else:
+            dst = os.path.join(out_prefix, partial)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            img.save(dst)
     return problems
 
 

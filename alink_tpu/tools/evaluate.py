@@ -68,9 +68,7 @@ def main(argv=None) -> None:
     import jax
 
     from alink_tpu import train as T
-    from alink_tpu.models import SiameseHead
-    from alink_tpu.ops.pairwise import score_matrix, score_matrix_sharded
-    from alink_tpu.parallel import create_mesh
+    from alink_tpu.tools.generate_matrix import restore_head_and_score
 
     if args.features:
         feats = np.load(args.features)
@@ -89,17 +87,7 @@ def main(argv=None) -> None:
         feats = generate_predictions(args.prefix, names, featurize)
     print(f"features: {feats.shape}")
 
-    head = SiameseHead()
-    like = head.init(jax.random.PRNGKey(0),
-                     np.zeros((1, feats.shape[1]), np.float32),
-                     np.zeros((1, feats.shape[1]), np.float32))
-    params = T.restore(args.model_ckpt, like)
-    if len(jax.devices()) > 1:
-        scores = score_matrix_sharded(create_mesh((-1,)), params,
-                                      feats, feats)
-    else:
-        scores = score_matrix(params, feats, feats)
-    scores = np.asarray(scores)
+    scores = restore_head_and_score(args.model_ckpt, feats)
     print(f"score matrix: {scores.shape}")
     if args.save_matrix:
         np.save(args.save_matrix, scores)
@@ -119,11 +107,10 @@ def main(argv=None) -> None:
                 path = f"{root}_{_CASES[case]}{ext}"
             np.savetxt(path, np.array([tpr, fpr]))
         # The reference's getStats.py output lines, per case.
+        from alink_tpu.tools.get_stats import print_stats
+
         print(f"[{_CASES[case]}]")
-        print("AUC %f" % stats.auc)
-        print("EER %f" % stats.eer)
-        print("GAR is %f for %f FAR" % (stats.gar_at_1pct_far, 0.010))
-        print("GAR is %f for %f FAR" % (stats.gar_at_01pct_far, 0.0010))
+        print_stats(stats)
         print(json.dumps({
             "case": _CASES[case], "auc": round(float(stats.auc), 6),
             "eer": round(float(stats.eer), 6),

@@ -26,6 +26,24 @@ from alink_tpu.ops.pairwise import score_matrix, score_matrix_sharded
 from alink_tpu.parallel import create_mesh
 
 
+def restore_head_and_score(model_ckpt: str, feats: np.ndarray
+                           ) -> np.ndarray:
+    """Restore a SiameseHead checkpoint and score the full feats x feats
+    matrix — sharded over the mesh when multiple devices exist.  Shared
+    by this tool and tools/evaluate.py (one copy of the dispatch)."""
+    head = SiameseHead()
+    like = head.init(jax.random.PRNGKey(0),
+                     np.zeros((1, feats.shape[1]), np.float32),
+                     np.zeros((1, feats.shape[1]), np.float32))
+    params = T.restore(model_ckpt, like)
+    if len(jax.devices()) > 1:
+        scores = score_matrix_sharded(create_mesh((-1,)), params,
+                                      feats, feats)
+    else:
+        scores = score_matrix(params, feats, feats)
+    return np.asarray(scores)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_ckpt", help="orbax checkpoint of head params")
@@ -35,18 +53,7 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     feats = np.load(args.features)
-    head = SiameseHead()
-    like = head.init(jax.random.PRNGKey(0),
-                     np.zeros((1, feats.shape[1]), np.float32),
-                     np.zeros((1, feats.shape[1]), np.float32))
-    params = T.restore(args.model_ckpt, like)
-
-    if len(jax.devices()) > 1:
-        mesh = create_mesh((-1,))
-        scores = score_matrix_sharded(mesh, params, feats, feats)
-    else:
-        scores = score_matrix(params, feats, feats)
-    scores = np.asarray(scores)
+    scores = restore_head_and_score(args.model_ckpt, feats)
     if args.out.endswith(".txt"):
         np.savetxt(args.out, scores)
     else:

@@ -24,12 +24,24 @@ def generate_predictions(prefix: str, names: list[str], featurize,
                          image_res=(224, 224), batch: int = 256
                          ) -> np.ndarray:
     paths = []
+    missing = []
     for name in names:
         resolved = lookup_file(os.path.join(prefix, name))
         if resolved is None:
-            print(f"missing: {name}")
+            missing.append(name)
             continue
         paths.append(resolved)
+    if missing:
+        # The downstream masks are positional over exactly this list
+        # (generateMatrixDFW.py:29 asserts 7,771 rows), so silently
+        # skipping (the reference's try/except, generatePredictions.
+        # py:43-48) would shift every genuine/imposter label after the
+        # first dropped index.  Fail loudly instead.
+        raise FileNotFoundError(
+            f"{len(missing)} of {len(names)} test-list images not found "
+            f"(first few: {missing[:5]}); the ROC masks are positional, "
+            "so a partial feature stack would mislabel every pair after "
+            "the first gap")
     images = load_image_list(paths, image_res)
     feats = []
     for i in range(0, len(images), batch):

@@ -24,6 +24,15 @@ SPLIT_RATIOS = {  # bisect_into_paths.py:11-14
 }
 
 
+#: Canonical split -> list-file names (readyData.sh's fileLists/).
+LIST_NAMES = {
+    "unlabelled": "unlabelledData.txt",
+    "test": "testData.txt",
+    "highres": "highResData.txt",
+    "lowres": "lowResData.txt",
+}
+
+
 def group_by_person(src: str, dst: str, move: bool = True) -> None:
     """Flat ``<person>_...`` files -> per-person directories (process.py)."""
     users: dict[str, list[str]] = {}
@@ -55,14 +64,8 @@ def bisect_into_paths(images_dir: str, files_dir: str, seed: int = 42
         splits["test"] += paths[t1:t2]
         splits["highres"] += paths[t2:t3]
         splits["lowres"] += paths[t3:]
-    names = {
-        "unlabelled": "unlabelledData.txt",
-        "test": "testData.txt",
-        "highres": "highResData.txt",
-        "lowres": "lowResData.txt",
-    }
     os.makedirs(files_dir, exist_ok=True)
-    for key, fname in names.items():
+    for key, fname in LIST_NAMES.items():
         with open(os.path.join(files_dir, fname), "w") as f:
             f.write("".join(p + "\n" for p in splits[key]))
     return splits
@@ -104,7 +107,7 @@ def ready_data(raw_dir: str, out_dir: str) -> None:
         pool = os.path.join(work, f"{res}_pool")
         os.makedirs(pool, exist_ok=True)
         # Rebuild a flat pool of this split's images, then train/val it.
-        with open(os.path.join(file_lists, f"{res.replace('highres', 'highRes').replace('lowres', 'lowRes')}Data.txt")) as f:
+        with open(os.path.join(file_lists, LIST_NAMES[res])) as f:
             for line in f:
                 name = line.strip()
                 if not name:
@@ -113,12 +116,15 @@ def ready_data(raw_dir: str, out_dir: str) -> None:
                     os.path.join(segregated, name.split("_")[0], name),
                     os.path.join(pool, name),
                 )
-        generate_image_dirs(res_dir, pool, os.path.join(
-            file_lists, f"{res.replace('highres', 'highRes').replace('lowres', 'lowRes')}Data.txt"))
+        generate_image_dirs(res_dir, pool,
+                            os.path.join(file_lists, LIST_NAMES[res]))
         # Person-group the train/val splits (readyData.sh's TRAIN/VAL pass).
         for split in ("train", "val"):
             flat = os.path.join(res_dir, split)
-            grouped = os.path.join(res_dir, split.upper())
+            # NOT split.upper(): on case-insensitive filesystems (APFS,
+            # NTFS) "TRAIN" IS "train", and the rmtree below would
+            # destroy the just-grouped tree.
+            grouped = os.path.join(res_dir, split + "_grouped")
             os.makedirs(grouped, exist_ok=True)
             group_by_person(flat, grouped)
             shutil.rmtree(flat)

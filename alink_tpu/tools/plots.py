@@ -55,14 +55,15 @@ def histogram_plot(matrix_path: str, mask_path: str, out: str) -> None:
     mask = (np.load(mask_path) if mask_path.endswith(".npy")
             else np.loadtxt(mask_path)).astype(int)
     genuine, imposter = masked_scores(scores, mask, case=3)
+    # Bin once (the DFW matrix yields ~30M scores); plot the precomputed
+    # counts rather than re-binning inside plt.hist.
     hg, hi, edges = score_histograms(genuine, imposter)
     plt = _plt()
     if plt is None:
         np.savez(out + ".npz", genuine=hg, imposter=hi, edges=edges)
         return
-    plt.hist(genuine, bins=100, range=(0.0, 1.0), label="Genuine", alpha=0.5)
-    plt.hist(imposter, bins=100, range=(0.0, 1.0), label="Imposter",
-             alpha=0.5)
+    plt.stairs(hg, edges, fill=True, label="Genuine", alpha=0.5)
+    plt.stairs(hi, edges, fill=True, label="Imposter", alpha=0.5)
     plt.xscale("log")
     plt.yscale("log")
     plt.legend(loc="upper right")

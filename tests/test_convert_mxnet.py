@@ -15,7 +15,7 @@ import numpy as np
 import pytest
 
 from alink_tpu.models import ArcFaceResNet100
-from alink_tpu.models.mtcnn import ONet, PNet, RNet
+from alink_tpu.models.mtcnn import LNet, ONet, PNet, RNet
 from alink_tpu.tools import convert_mxnet as cm
 
 
@@ -169,6 +169,10 @@ def _synth_mtcnn_raw(net):
         convs = [(3, 28, 3), (28, 48, 3), (48, 64, 2)]
         fc, chw, width = "conv4", (64, 3, 3), 128
         heads = {"conv5_1": 2, "conv5_2": 4}
+    elif net == "lnet":
+        convs = [(15, 28, 3), (28, 48, 3), (48, 64, 2)]
+        fc, chw, width = "conv4", (64, 3, 3), 256
+        heads = {f"conv5_{i}": 2 for i in range(1, 6)}
     else:  # onet
         convs = [(3, 32, 3), (32, 64, 3), (64, 64, 3), (64, 128, 2)]
         fc, chw, width = "conv5", (128, 3, 3), 256
@@ -194,6 +198,7 @@ def _synth_mtcnn_raw(net):
     ("pnet", PNet, (1, 12, 12, 3)),
     ("rnet", RNet, (1, 24, 24, 3)),
     ("onet", ONet, (1, 48, 48, 3)),
+    ("lnet", LNet, (1, 24, 24, 15)),
 ])
 def test_mtcnn_trees_match_models(net, model, inp):
     raw = _synth_mtcnn_raw(net)

@@ -101,6 +101,57 @@ class TestGeneratePredictionsFn:
         )
         assert feats.shape == (5, 8)
 
+    def test_missing_image_fails_loudly(self, tmp_path):
+        """The ROC masks are positional: a silently skipped image would
+        shift every label after it, so missing files must raise."""
+        from PIL import Image
+
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "a.jpg")
+        with pytest.raises(FileNotFoundError, match="positional"):
+            gp.generate_predictions(
+                str(tmp_path), ["a.jpg", "nope.jpg"],
+                lambda x: x.reshape(x.shape[0], -1)[:, :4],
+                image_res=(8, 8))
+
+
+class TestDFWCrop:
+    def test_delete_bad_only_removes_unreadable(self, tmp_path):
+        """--delete_bad must never remove a readable image whose failure
+        is elsewhere (missing box entry); and a save failure propagates
+        instead of deleting the source (reference deletes only images
+        that fail to OPEN, readDFW.py:40-43)."""
+        from PIL import Image
+
+        from alink_tpu.tools import dfw_crop
+
+        d = tmp_path / "Training_data" / "p1"
+        d.mkdir(parents=True)
+        good = d / "ok.jpg"
+        Image.fromarray(np.full((10, 10, 3), 128, np.uint8)).save(good)
+        bad = d / "corrupt.jpg"
+        bad.write_bytes(b"\xff\xd8not a real jpeg")
+        boxes = {os.path.join("Training_data", "p1", "ok.jpg"):
+                 (1, 1, 8, 8)}
+        # corrupt.jpg: unreadable AND has no box entry -> it is counted
+        # but NOT a delete candidate via the no-box path; ok.jpg crops.
+        problems = dfw_crop.crop_images(
+            str(tmp_path), os.path.join("Training_data", "p1"), boxes,
+            out_prefix=str(tmp_path / "out"), delete_bad=True)
+        assert problems == 1
+        assert good.exists()          # readable source untouched
+        assert bad.exists()           # no box entry -> never deleted
+        # Now give the corrupt file a box entry: it becomes a genuine
+        # unreadable-image failure and delete_bad removes it.
+        boxes[os.path.join("Training_data", "p1", "corrupt.jpg")] = (
+            1, 1, 8, 8)
+        problems = dfw_crop.crop_images(
+            str(tmp_path), os.path.join("Training_data", "p1"), boxes,
+            out_prefix=str(tmp_path / "out"), delete_bad=True)
+        assert problems == 1
+        assert not bad.exists()
+        assert good.exists()
+
 
 class TestMTPStaging:
     def test_group_bisect_dirs(self, tmp_path):
