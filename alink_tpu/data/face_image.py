@@ -122,10 +122,17 @@ def get_dataset_common(input_dir: str,
     ``with_json`` also reads facescrub/megaface-style sidecar
     annotations."""
     records = []
-    for label, subdir in enumerate(sorted(os.listdir(input_dir))):
+    # Label by CLASS DIRECTORY index, not raw listing index: a stray
+    # file between class dirs must not leave a gap in 0..C-1 (the
+    # reference increments its label only per directory,
+    # face_image.py:71-85, and consumers treat int(classname) as a
+    # contiguous softmax index).
+    label = -1
+    for subdir in sorted(os.listdir(input_dir)):
         full = os.path.join(input_dir, subdir)
         if not os.path.isdir(full):
             continue
+        label += 1
         for img in sorted(os.listdir(full)):
             if img.endswith(".jpg.jpg") or img.endswith(".json"):
                 continue  # face_image.py:104 skips double-extension files

@@ -102,6 +102,13 @@ def _sample_across(rng, counts_a, counts_b, n, same_group):
     """n cross-person draws; ``same_group`` forbids i == j."""
     live_a = np.flatnonzero(counts_a > 0)
     live_b = np.flatnonzero(counts_b > 0)
+    if same_group and len(live_a) == 1 and len(live_b) == 1 \
+            and live_a[0] == live_b[0]:
+        # Only one live person: every "cross-person" draw would pair the
+        # person with themselves yet be labeled imposter — silent
+        # training corruption.  Surface the degenerate dataset instead.
+        raise ValueError(
+            "cannot draw imposter pairs: only one person has images")
     pa = rng.choice(live_a, n)
     pb = rng.choice(live_b, n)
     if same_group and len(live_a) > 1:
@@ -219,10 +226,9 @@ def split_disguise_data(
     pre_counts = (counts * pre_ratio).astype(np.int32)
     post_counts = counts - pre_counts
     s = stacks.max_stack
+    pre_mask = np.arange(s)[None, :] < pre_counts[:, None]
     pre = np.where(
-        (np.arange(s)[None, :] < pre_counts[:, None])[..., None, None, None]
-        if stacks.images.ndim == 5
-        else (np.arange(s)[None, :] < pre_counts[:, None])[..., None],
+        pre_mask.reshape(pre_mask.shape + (1,) * (stacks.images.ndim - 2)),
         stacks.images,
         0.0,
     )

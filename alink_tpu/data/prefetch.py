@@ -108,6 +108,11 @@ class DevicePrefetcher:
             self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            # The worker died delivering this: it will never produce
+            # again, so the iterator is exhausted (a consumer that
+            # catches the error and keeps iterating must terminate, not
+            # block forever on the empty queue).
+            self._done = True
             raise item
         return item
 

@@ -10,6 +10,7 @@ model.py:41-61).  Same schedule machinery as the siamese trainer
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -57,8 +58,11 @@ def categorical_crossentropy(
     per_sample = -jnp.sum(targets * jax.nn.log_softmax(logits, axis=-1),
                           axis=-1)
     if sample_weight is not None:
-        return jnp.sum(per_sample * sample_weight) / jnp.maximum(
-            jnp.sum(sample_weight), 1e-7)
+        # Keras 2 weighted form: mean(loss * w) corrected for zero-weight
+        # rows only (see losses.binary_crossentropy) — not /sum(w).
+        nonzero = jnp.mean((sample_weight != 0).astype(jnp.float32))
+        return jnp.mean(per_sample * sample_weight) / jnp.maximum(
+            nonzero, 1e-7)
     return jnp.mean(per_sample)
 
 
@@ -108,11 +112,22 @@ def fit_classifier(
     ``augment_fn(key, batch) -> batch`` reproduces trainWithAugmentation's
     per-batch augmentation (model.py:41-61)."""
     n = labels.shape[0]
-    n_val = int(n * validation_split)
-    n_train = n - n_val
+    if n == 0:
+        # Same guard as trainer.fit: one empty-batch step would NaN the
+        # params silently; Keras raises here too.
+        raise ValueError("fit_classifier() called with zero examples")
+    # Keras slices train first: split_at = int(n * (1 - split)) — the
+    # same rounding as trainer.fit (a one-sample boundary difference
+    # shifts validation losses and hence early-stop epochs).
+    n_train = int(n * (1.0 - validation_split)) if validation_split else n
+    if n_train == 0:
+        n_train = n  # degenerate tiny fit: train on all rows, no val
+    n_val = n - n_train
     tx_, ty = x[:n_train], labels[:n_train]
     vx, vy = x[n_train:], labels[n_train:]
-    steps = max(1, n_train // batch_size)
+    # Ceil: Keras trains the short remainder batch too (trainer.fit got
+    # this fix; flooring silently drops up to batch_size-1 samples/epoch).
+    steps = max(1, -(-n_train // batch_size))
     control = _PlateauControl()
     logs: list[EpochLog] = []
     for epoch in range(epochs):

@@ -25,7 +25,7 @@ from alink_tpu.train.losses import (
     class_weights_from_labels,
     one_hot,
 )
-from alink_tpu.train.trainer import TrainState, adadelta
+from alink_tpu.train.trainer import TrainState, _takes_train, adadelta
 
 
 def create_ensemble_state(
@@ -48,7 +48,12 @@ def create_ensemble_state(
     opt_state = jax.vmap(tx.init)(params)
 
     def logits_fn(p, left, right, *, train=False, rngs=None):
-        del train, rngs
+        # Forward train/rngs so dropout-bearing members actually train
+        # with dropout (the docstring promises per-member keys; SiameseHead
+        # has no dropout, but e.g. SmallRes members do).
+        if train and _takes_train(model):
+            return model.apply(p, left, right, train=True, rngs=rngs,
+                               method="logits")
         return model.apply(p, left, right, method="logits")
 
     return TrainState(

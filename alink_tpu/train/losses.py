@@ -44,9 +44,17 @@ def binary_crossentropy(
     bce = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
     per_sample = jnp.mean(bce, axis=-1)
     if sample_weight is not None:
-        # Keras scales per-sample losses and normalises by the weight mean.
+        # Keras 2's weighted_masked_objective (training_utils.py):
+        #   score_array *= weights
+        #   score_array /= K.mean(K.cast(K.not_equal(weights, 0), floatx))
+        #   return K.mean(score_array)
+        # i.e. mean(loss * w) over the batch, corrected only for
+        # zero-weight rows — NOT sum(loss*w)/sum(w), which rescales the
+        # loss by mean(w) (~2x with the reference's sum-to-1 class
+        # weights) and would shift every loss curve and plateau check.
         per_sample = per_sample * sample_weight
-        return jnp.sum(per_sample) / jnp.maximum(jnp.sum(sample_weight), _EPS)
+        nonzero = jnp.mean((sample_weight != 0).astype(jnp.float32))
+        return jnp.mean(per_sample) / jnp.maximum(nonzero, _EPS)
     return jnp.mean(per_sample)
 
 

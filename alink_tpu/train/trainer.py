@@ -13,7 +13,10 @@ Reference: ``code/siamese.py:44-112``.
 - ``custom_train``  — ``customTrainModel`` (``siamese.py:81-112``): per-batch
   random train/val split, batch-balance class weights, running epoch means;
 - ``train_step`` / ``eval_step`` — single fused device steps (grad + update,
-  loss + acc), donated state, batch-shardable under a mesh.
+  loss + acc), batch-shardable under a mesh.  State is NOT donated: the
+  trained heads are KB-MB scale (the big backbones are frozen), so the
+  transient second copy is cheap, and donation would delete a caller's
+  input state (breaking before/after comparisons and retries).
 
 TPU-first departures: the whole epoch's micro-batches run through one
 compiled step function (no per-call graph rebuild); dropout is stateless

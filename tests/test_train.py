@@ -75,14 +75,22 @@ class TestLosses:
         )
 
     def test_weighted_loss_normalisation(self):
+        """Keras 2 weighted form: mean(loss * w) / mean(w != 0) — the
+        loss genuinely scales with uniform weights (training_utils.py's
+        weighted_masked_objective), it is NOT renormalised by sum(w)."""
         logits = jnp.zeros((4, 2))
         targets = one_hot(jnp.array([0, 1, 0, 1]))
         unweighted = binary_crossentropy(logits, targets)
-        weighted = binary_crossentropy(
-            logits, targets, jnp.array([0.5, 0.5, 0.5, 0.5])
-        )
-        # Uniform weights must reduce to the unweighted mean.
-        assert abs(float(unweighted) - float(weighted)) < 1e-6
+        # Uniform w=1 reduces to the unweighted mean.
+        w1 = binary_crossentropy(logits, targets, jnp.ones(4))
+        assert abs(float(unweighted) - float(w1)) < 1e-6
+        # Uniform w=0.5 halves the loss (Keras scales, never renorms).
+        w_half = binary_crossentropy(logits, targets, jnp.full(4, 0.5))
+        assert abs(float(w_half) - 0.5 * float(unweighted)) < 1e-6
+        # Zero-weight rows are excluded via the mean(w != 0) correction.
+        w_mask = binary_crossentropy(logits, targets,
+                                     jnp.array([1.0, 1.0, 0.0, 0.0]))
+        assert abs(float(w_mask) - float(unweighted)) < 1e-6
 
     def test_accuracy(self):
         logits = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
