@@ -91,12 +91,19 @@ class ActiveLearner:
 
     # -- inference (base.py:154-176) --
 
-    def predict_proba(self, left, right) -> jnp.ndarray:
+    def predict_logits(self, left, right) -> jnp.ndarray:
+        """Raw pre-softmax outputs."""
         return self.state.logits_fn(self.state.params, jnp.asarray(left),
                                     jnp.asarray(right))
 
+    def predict_proba(self, left, right) -> jnp.ndarray:
+        """Class probabilities — the modAL/sklearn predict_proba contract
+        (base.py:154-176); acquisition functions (classifier_entropy etc.)
+        consume exactly this."""
+        return jax.nn.softmax(self.predict_logits(left, right), axis=-1)
+
     def predict(self, left, right) -> jnp.ndarray:
-        return jnp.argmax(self.predict_proba(left, right), axis=-1)
+        return jnp.argmax(self.predict_logits(left, right), axis=-1)
 
     def score(self, left, right, y) -> float:
         pred = self.predict(left, right)
@@ -105,7 +112,7 @@ class ActiveLearner:
     # -- querying (base.py:179-195) --
 
     def query(self, left, right, n_instances: int = 1) -> np.ndarray:
-        probs = jax.nn.softmax(self.predict_proba(left, right), axis=-1)
+        probs = self.predict_proba(left, right)
         return np.asarray(self.query_strategy(probs, n_instances))
 
 

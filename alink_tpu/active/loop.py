@@ -314,8 +314,18 @@ class ALinkLoop:
         # Device work runs over fixed-size pair chunks so HBM use is
         # bounded regardless of the all-pairs batch size (the reference
         # chunks its predicts at bs 1024 too, siamese.py:131); the final
-        # chunk is padded to keep one compiled program.
-        db = min(self.device_batch, n)
+        # chunk is padded to keep one compiled program.  The chunk width
+        # is bucketed to a power of two (capped at device_batch):
+        # min(device_batch, n) would give the fused chunk (committee +
+        # noise + attack + student) a fresh input shape — and a seconds-
+        # long retrace — every slab whose pair count differs, while
+        # always padding to device_batch would run up to 2x-32x dead
+        # pairs on small slabs.  Buckets bound the compile count at
+        # log2(device_batch) and the padding waste at <2x.
+        db = 1
+        while db < min(self.device_batch, n):
+            db *= 2
+        db = min(db, self.device_batch)
         m1_chunks, probs_chunks, sl_chunks, sr_chunks = [], [], [], []
         chunk_spans = []
         for s in range(0, n, db):
@@ -404,7 +414,10 @@ class ALinkLoop:
             # with consistent indexing).
             mp = queried.size // k_noise
             if mp:
-                shares = [np.sort(queried[k * mp:(k + 1) * mp])
+                # queried is ascending (np.flatnonzero), so each
+                # contiguous share already is too — gather_student_all's
+                # label alignment relies on exactly that ordering.
+                shares = [queried[k * mp:(k + 1) * mp]
                           for k in range(k_noise)]
                 gathered = gather_student_all(shares)
                 for k, (ls, rs) in enumerate(gathered):
@@ -557,6 +570,12 @@ class ALinkLoop:
         s.pool_cursor = int(counters[2])
         if "key" in loop_tree:
             self.key = jnp.asarray(loop_tree["key"])
+        if counters.shape[0] > 3:
+            # Restore the counter UNCONDITIONALLY: a resume without a
+            # generator wired must not zero it (the next save() would
+            # persist 0 and a later properly-configured resume would
+            # fast-forward past nothing — silent trajectory divergence).
+            s.replay_draws = int(counters[3])
         if counters.shape[0] > 3 and self.replay_gen is not None:
             # Fast-forward a (deterministic) replay generator to the
             # position the interrupted run had consumed — without this a
@@ -566,7 +585,6 @@ class ALinkLoop:
             # is skipped, so a second restore() (or restore() followed by
             # run(checkpoint_path=...)) is a no-op instead of a double
             # skip.
-            s.replay_draws = int(counters[3])
             while self._replay_consumed < s.replay_draws:
                 next(self.replay_gen)
                 self._replay_consumed += 1

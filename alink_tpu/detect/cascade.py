@@ -272,10 +272,16 @@ def _refine_landmarks(params, img, boxes, landmarks):
     stacked = jnp.concatenate(
         [crops[:, i] for i in range(5)], axis=-1)  # (K, 24, 24, 15)
     offsets = _LNET.apply(params.lnet, preprocess.mtcnn(stacked))  # (K, 5, 2)
-    offsets = jnp.where(jnp.abs(offsets - 0.5) > 0.35, 0.5, offsets)
+    # Reference resets the WHOLE (dx, dy) row to the patch centre when
+    # EITHER coordinate moves too far: tmp_index[0] of a 2-D np.where is
+    # row indices (mtcnn_detector.py:504-505) — not an elementwise clamp.
+    bad = jnp.any(jnp.abs(offsets - 0.5) > 0.35, axis=-1, keepdims=True)
+    offsets = jnp.where(bad, 0.5, offsets)
     rx = x0 + offsets[..., 0] * patchw[:, None]
     ry = y0 + offsets[..., 1] * patchw[:, None]
-    return jnp.stack([rx, ry], axis=-1)
+    # points.astype(np.int32) (mtcnn_detector.py:511): truncate toward
+    # zero, keeping float dtype for the downstream alignment math.
+    return jnp.trunc(jnp.stack([rx, ry], axis=-1))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -349,6 +355,12 @@ def profile_cascade(
     - ``stage1``/``stage2``/``stage3``: (N,) surviving candidates after
       each stage under ``cfg``'s budgets (a count equal to the budget
       means the budget may have truncated — raise it and re-profile).
+
+    The raw-count pass re-runs the P-Net pyramid that ``_stage1`` also
+    runs (~2x stage-1 device time) — accepted: this is an offline
+    calibration tool over a few hundred sample images, and threading
+    precomputed probability maps through ``_stage1`` would complicate
+    the hot path for the benefit of a tool.
     """
     h, w = images.shape[1], images.shape[2]
     scales = [s for s in pyramid_scales(h, w, cfg.min_size, cfg.factor)

@@ -36,6 +36,12 @@ class FaceModel:
             pre-cropped images).
     """
 
+    # Reassigning any of these invalidates the cached jits below — the
+    # traces close over them, so without this a changed cfg/embedder
+    # would silently keep running the OLD budgets/model (same guard as
+    # ALinkLoop.__setattr__).
+    _TRACED_ATTRS = ("embedder", "cfg")
+
     def __init__(
         self,
         embed_params,
@@ -53,13 +59,46 @@ class FaceModel:
         self._embed_jit = None
         self._process_jit = None
 
+    def __setattr__(self, name, value):
+        if name in self._TRACED_ATTRS and getattr(self, "_process_jit",
+                                                  None) is not None:
+            super().__setattr__("_process_jit", None)
+            super().__setattr__("_embed_jit", None)
+        elif name in self._TRACED_ATTRS and getattr(self, "_embed_jit",
+                                                    None) is not None:
+            super().__setattr__("_embed_jit", None)
+        super().__setattr__(name, value)
+
     def detect(self, images: jnp.ndarray) -> Detections:
         if self.cascade_params is None:
             raise ValueError("no cascade params loaded (detection disabled)")
         return detect_faces(self.cascade_params, images, self.cfg)
 
+    def _best_chips(self, cascade_params, images: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Best-face detect + align -> (chips, found) — the one copy of
+        the selection/align block behind get_input() and pipeline().
+
+        ``found``: (N,) bool, False when an image had NO valid detection
+        (the reference's get_input returns None there, face_model.py:76).
+        Fixed shapes rule out a None; instead the chip is zeroed —
+        aligning a budget-padding garbage landmark row would otherwise
+        hand the embedder an arbitrary warp with no failure signal.
+        """
+        det = detect_faces(cascade_params, images, self.cfg)
+        # Best-scoring valid face per image FIRST (face_model get_input
+        # keeps the single detected face) — aligning only that face does
+        # 1/budget of the warp work of aligning every budget slot.
+        neg = jnp.finfo(det.scores.dtype).min
+        best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
+        found = jnp.any(det.valid, axis=1)
+        lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
+        chips = align_faces(images, lmk[:, None], self.cfg.output_size)
+        return chips[:, 0] * found[:, None, None, None], found
+
     def get_input(self, images: jnp.ndarray) -> jnp.ndarray:
-        """Aligned 112x112 face chips.
+        """Aligned 112x112 face chips (zeroed where no face was found —
+        use ``get_input_valid`` for the per-image found mask).
 
         With detection enabled: best-face detect + align per image
         (the full pipeline of face_model.py:71-82's commented-out path).
@@ -70,15 +109,19 @@ class FaceModel:
             from alink_tpu.ops.image import resize
 
             return resize(images, self.cfg.output_size)
-        det = self.detect(images)
-        # Best-scoring valid face per image FIRST (face_model get_input
-        # keeps the single detected face) — aligning only that face does
-        # 1/budget of the warp work of aligning every budget slot.
-        neg = jnp.finfo(det.scores.dtype).min
-        best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
-        lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
-        chips = align_faces(images, lmk[:, None], self.cfg.output_size)
-        return chips[:, 0]
+        return self._best_chips(self.cascade_params, images)[0]
+
+    def get_input_valid(self, images: jnp.ndarray
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(chips, found): like ``get_input`` plus the per-image
+        detection-success mask (the batched analog of the reference's
+        None return, face_model.py:76)."""
+        if self.cascade_params is None:
+            from alink_tpu.ops.image import resize
+
+            chips = resize(images, self.cfg.output_size)
+            return chips, jnp.ones(images.shape[0], bool)
+        return self._best_chips(self.cascade_params, images)
 
     def get_feature(self, aligned: jnp.ndarray) -> jnp.ndarray:
         """L2-normalised 512-d embeddings for aligned chips
@@ -107,13 +150,19 @@ class FaceModel:
                  images: jnp.ndarray) -> jnp.ndarray:
         """The detect->align->embed chain as a pure traceable function —
         embed it in larger jitted programs (benchmarks, serving batchers);
-        ``process`` is its jitted convenience wrapper."""
-        det = detect_faces(cascade_params, images, self.cfg)
-        neg = jnp.finfo(det.scores.dtype).min
-        best = jnp.argmax(jnp.where(det.valid, det.scores, neg), axis=1)
-        lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
-        chips = align_faces(images, lmk[:, None], self.cfg.output_size)
-        return self.embedder.apply(embed_params, chips[:, 0])
+        ``process`` is its jitted convenience wrapper.  No-face images
+        embed a zero chip (see ``_best_chips``; use ``pipeline_valid``
+        when the caller needs the mask)."""
+        chips, _ = self._best_chips(cascade_params, images)
+        return self.embedder.apply(embed_params, chips)
+
+    def pipeline_valid(self, embed_params, cascade_params,
+                       images: jnp.ndarray
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(embeddings, found): ``pipeline`` plus the per-image
+        detection-success mask."""
+        chips, found = self._best_chips(cascade_params, images)
+        return self.embedder.apply(embed_params, chips), found
 
     def get_ga(self, aligned: jnp.ndarray, ga_head, ga_params
                ) -> tuple[jnp.ndarray, jnp.ndarray]:

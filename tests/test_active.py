@@ -380,8 +380,8 @@ class TestBayesianOptimizer:
         idx = bo.query(left, right, n_instances=3)
         assert len(idx) == 3
         # Greedy acquisition: queried indices have the highest P(genuine).
-        probs = np.asarray(jax.nn.softmax(
-            bo.predict_proba(left, right), axis=-1))[:, 1]
+        # predict_proba now honours the modAL contract (probabilities).
+        probs = np.asarray(bo.predict_proba(left, right))[:, 1]
         assert set(idx.tolist()) == set(np.argsort(probs)[-3:].tolist())
 
 
