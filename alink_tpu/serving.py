@@ -159,7 +159,11 @@ class Verifier:
     Args:
         featurize: batched ``(N, H, W, C) -> (N, D)`` embedding fn —
             typically ``detect.FaceModel(...).process`` for raw photos or
-            a bare embedder for pre-aligned crops.
+            a bare embedder for pre-aligned crops.  For enrollment from
+            uncurated photos, screen with ``FaceModel.pipeline_valid``
+            first and drop not-found rows — ``process`` embeds a zero
+            chip for images with no detected face (deterministic, but
+            still a gallery entry nothing should match).
         head_params: siamese verification head params (SiameseHead tree).
         mesh: optional device mesh; enables the sharded score grid.
     """
