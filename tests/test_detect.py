@@ -149,6 +149,49 @@ class TestFaceModel:
         assert feats.shape == (2, 512)
 
 
+    def test_no_face_images_are_flagged_and_zeroed(self, tiny_embedder,
+                                                   cascade):
+        """Batched analog of the reference get_input's None return
+        (face_model.py:76): images with no valid detection yield
+        found=False and a ZERO chip (never a garbage-landmark warp)."""
+        import dataclasses
+
+        from alink_tpu.detect import CascadeConfig
+
+        model, params = tiny_embedder
+        # Random weights vs threshold 0.99: nothing survives.
+        cfg = CascadeConfig(thresholds=(0.99, 0.99, 0.99),
+                            stage1_scale_budget=8, stage1_budget=8,
+                            stage2_budget=4, stage3_budget=2)
+        fm = FaceModel(params, cascade, cfg, embedder=model)
+        images = jax.random.uniform(jax.random.PRNGKey(11), (2, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        chips, found = fm.get_input_valid(images)
+        assert not bool(found.any())
+        assert float(jnp.abs(chips).max()) == 0.0
+        feats, found2 = fm.pipeline_valid(params, cascade, images)
+        assert feats.shape == (2, 512)
+        np.testing.assert_array_equal(np.asarray(found),
+                                      np.asarray(found2))
+
+    def test_cfg_swap_invalidates_cached_trace(self, tiny_embedder,
+                                               cascade, small_cfg):
+        """Reassigning cfg must re-trace process() — a cached trace would
+        silently keep the old budgets/thresholds."""
+        from alink_tpu.detect import CascadeConfig
+
+        model, params = tiny_embedder
+        fm = FaceModel(params, cascade, small_cfg, embedder=model)
+        images = jax.random.uniform(jax.random.PRNGKey(12), (2, 48, 48, 3),
+                                    jnp.float32, 0, 255)
+        r1 = fm.process(images)
+        fm.cfg = CascadeConfig(thresholds=(0.99, 0.99, 0.99),
+                               stage1_scale_budget=8, stage1_budget=8,
+                               stage2_budget=4, stage3_budget=2)
+        r2 = fm.process(images)  # all-invalid -> zero chips -> differs
+        assert bool(jnp.any(r1 != r2))
+
+
 class TestLNetRefine:
     def test_accurate_landmark_path(self, cascade):
         from alink_tpu.detect import CascadeConfig, detect_faces
