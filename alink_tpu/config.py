@@ -96,7 +96,9 @@ class ALinkConfig:
     # high-latency link (e.g. a remote-device tunnel at ~35 ms/dispatch)
     # the extra dispatches dominate and large chunks win — hence the
     # conservative default.  Tune per deployment; bench_selection.py
-    # measures both modes.
+    # measures both modes.  The actual chunk width buckets to the next
+    # power of two <= device_batch, so small slabs neither retrace the
+    # fused chunk program nor pad all the way up.
     device_batch: int = 1024
     # Host ingest: decode large JPEGs at the biggest 1/2^k DCT scale
     # that still covers image_res (native loader only; ~1.8x per core
