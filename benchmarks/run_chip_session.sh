@@ -39,6 +39,8 @@ run bench_r50_pipeline 1700 python benchmarks/bench_r50_pipeline.py
 run bench_scan_embed 1700 python benchmarks/bench_scan_embed.py
 # 8. scan_units effect on the fused pipeline (compile budget headroom).
 run exp_scan_pipeline 1700 python benchmarks/exp_scan_pipeline.py
+# 8b. Selection round (chunk-width bucketing changed the program shapes).
+run bench_selection 1700 python benchmarks/bench_selection.py
 # 9. Warm-cache re-run of the official bench: a clean steady-state number,
 #    and it leaves /tmp/alink_jax_cache hot for the driver's round-end run.
 run bench_official_warm 1700 python bench.py
