@@ -135,8 +135,13 @@ def affine_warp_batch(
     border: str = "zero",
     compute_dtype=None,
     precision=None,
+    interp: str = "linear",
 ) -> jnp.ndarray:
     """Warp a batch of HWC images by forward 2x3 affines (cv2 semantics).
+
+    ``interp="nearest"`` rounds sample coordinates to the nearest source
+    pixel (scipy.ndimage order=0 semantics, round-half-up) — the
+    interpolation old Keras augmentation used (ops/augment.py).
 
     Replaces the reference's per-face ``cv2.warpAffine`` loop
     (mtcnn_detector.py:606-656, face_preprocess.py:106).  Output pixel
@@ -196,6 +201,11 @@ def affine_warp_batch(
              + Ainv[:, None, None, 0, 1] * rel[..., 1])
         Y = (Ainv[:, None, None, 1, 0] * rel[..., 0]
              + Ainv[:, None, None, 1, 1] * rel[..., 1])
+        if interp == "nearest":
+            # ndimage order-0: round-half-up to the nearest grid point
+            # (a rounded coordinate makes the tent weights one-hot).
+            X = jnp.floor(X + 0.5)
+            Y = jnp.floor(Y + 0.5)
         if border == "nearest":
             X = jnp.clip(X, 0.0, w - 1.0)
             Y = jnp.clip(Y, 0.0, h - 1.0)
@@ -517,6 +527,14 @@ def crop_and_resize(
              * sy[:, None] - 0.5 + y1[:, None])           # (K, out_h)
     src_x = ((jnp.arange(out_w, dtype=jnp.float32)[None, :] + 0.5)
              * sx[:, None] - 0.5 + x1[:, None])           # (K, out_w)
+    # Clamp sample coordinates INTO the box: when the box is smaller
+    # than out_size (upscale, e.g. 20 px P-Net boxes -> 24x24 R-Net
+    # crops) the half-pixel grid extends past the box edge, and the
+    # reference's crop-then-cv2.resize replicates the crop's own border
+    # row there — it never reads image pixels outside the box.  For
+    # downscale the grid already stays inside, so this is a no-op.
+    src_y = jnp.clip(src_y, y1[:, None], y2[:, None])
+    src_x = jnp.clip(src_x, x1[:, None], x2[:, None])
     wy = jnp.maximum(
         0.0, 1.0 - jnp.abs(src_y[:, :, None]
                            - jnp.arange(h, dtype=jnp.float32)))  # (K,oh,H)

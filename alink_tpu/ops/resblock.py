@@ -41,12 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from alink_tpu.ops.qconv import (FlatLayout, add_lead, flat_layout,
+from alink_tpu.ops.qconv import (FlatLayout, _rup, add_lead, flat_layout,
                                  flat_to_nhwc, nhwc_to_flat)
-
-
-def _rup(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 class BottleneckWeights(NamedTuple):

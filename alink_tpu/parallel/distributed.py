@@ -46,10 +46,27 @@ def initialize(
     On TPU pods the three arguments are auto-detected from the
     environment; pass them explicitly for CPU/GPU clusters.  Safe to
     call unconditionally at driver start (`drivers/common.py`).
+
+    Single-process detection must NOT touch ``jax.process_count()``:
+    that initializes the XLA backends, after which
+    ``jax.distributed.initialize`` raises ("must be called before any
+    JAX computations").  Instead, detect a multi-host environment from
+    the same signals jax.distributed auto-detect uses (explicit args or
+    a cluster-environment spec) and otherwise no-op.
     """
+    import os
+
+    cluster_env = any(os.environ.get(v) for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ))
+    # TPU runtimes export TPU_WORKER_HOSTNAMES even on one host
+    # (e.g. "localhost"); only a MULTI-worker list implies a pod.
+    cluster_env = cluster_env or (
+        "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""))
     if num_processes == 1 or (
         coordinator_address is None and num_processes is None
-        and jax.process_count() == 1
+        and not cluster_env
     ):
         return
     jax.distributed.initialize(
@@ -73,10 +90,16 @@ def create_multihost_mesh(model: int = 1) -> Mesh:
     if n % model:
         raise ValueError(f"{n} devices not divisible by model={model}")
     local = jax.local_device_count()
-    if model > local:
+    if model > local or local % model:
+        # model <= local is not enough: with the process-major device
+        # order, any model that does not DIVIDE the per-process count
+        # makes some (data-row) model group straddle two processes —
+        # e.g. 5 hosts x 8 devices with model=5 puts devices {5,6,7}
+        # (host 0) and {8,9} (host 1) in one group, which is exactly the
+        # DCN-crossing committee exchange this check exists to prevent.
         raise ValueError(
-            f"model axis ({model}) must fit inside one process's "
-            f"{local} devices — the committee axis must not cross DCN")
+            f"model axis ({model}) must divide one process's {local} "
+            f"devices — the committee axis must not cross DCN")
     grid = np.asarray(devices).reshape(n // model, model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

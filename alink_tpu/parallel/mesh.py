@@ -78,6 +78,9 @@ def shard_batch(mesh: Mesh, tree):
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     def _len(x):
-        return np.asarray(x).shape[0]
+        # Shape read only — np.asarray on a device Array would copy the
+        # whole buffer to host just to look at shape[0].
+        return (x.shape[0] if hasattr(x, "shape")
+                else np.asarray(x).shape[0])
 
     return jax.tree.map(_place, tree), jax.tree.map(_len, tree)

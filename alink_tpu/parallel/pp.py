@@ -35,39 +35,14 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from alink_tpu.parallel.tp import _bn, _conv, _prelu, _unit_strides
-
-
-def _stem(p, x, dtype):
-    x = _conv(x.astype(dtype), p["Conv_0"]["kernel"], dtype=dtype)
-    x = _bn(x, p["_FrozenBN_0"], dtype)
-    return _prelu(x, p["_PReLU_0"]["alpha"], dtype)
+# The LResNet topology (stem / IR unit / head) lives in ONE place —
+# parallel/tp.py — parameterized by an optional post-conv reduce; the
+# pipeline schedule runs units whole (no reduce).
+from alink_tpu.parallel.tp import _head, _ir_unit, _stem, _unit_strides
 
 
 def _unit(p, x, stride, dtype):
-    y = _bn(x, p["_FrozenBN_0"], dtype)
-    y = _conv(y, p["Conv_0"]["kernel"], dtype=dtype)
-    y = _bn(y, p["_FrozenBN_1"], dtype)
-    y = _prelu(y, p["_PReLU_0"]["alpha"], dtype)
-    y = _conv(y, p["Conv_1"]["kernel"], stride=stride, dtype=dtype)
-    y = _bn(y, p["_FrozenBN_2"], dtype)
-    if "Conv_2" in p:
-        sc = _conv(x, p["Conv_2"]["kernel"], stride=stride,
-                   padding=((0, 0), (0, 0)), dtype=dtype)
-        sc = _bn(sc, p["_FrozenBN_3"], dtype)
-    else:
-        sc = x
-    return y + sc
-
-
-def _head(p, x, dtype):
-    x = _bn(x, p["_FrozenBN_1"], dtype)
-    x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
-    x = x @ p["Dense_0"]["kernel"].astype(jnp.float32) \
-        + p["Dense_0"]["bias"].astype(jnp.float32)
-    x = x * p["fc1_gamma"] + p["fc1_beta"]
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, 1e-12)
+    return _ir_unit(x, p, stride, dtype, reduce=None)
 
 
 def boundary_shape(split_after_unit: int, in_hw: int = 112,

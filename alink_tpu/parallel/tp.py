@@ -67,17 +67,39 @@ def _prelu(x, alpha, dtype):
     return jnp.where(x >= 0, x, a * x)
 
 
-def _ir_unit(x, up, stride, dtype):
-    """One IR unit on per-device param shards (inside shard_map)."""
+def _stem(p, x, dtype):
+    """Stem conv/BN/PReLU — ONE copy of the LResNet topology shared with
+    the pipeline-parallel schedule (parallel/pp.py)."""
+    x = _conv(x.astype(dtype), p["Conv_0"]["kernel"], dtype=dtype)
+    x = _bn(x, p["_FrozenBN_0"], dtype)
+    return _prelu(x, p["_PReLU_0"]["alpha"], dtype)
+
+
+def _head(p, x, dtype):
+    """Tail BN / fc1 / folded output BN / L2 norm (shared with pp.py)."""
+    x = _bn(x, p["_FrozenBN_1"], dtype)
+    x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
+    x = x @ p["Dense_0"]["kernel"].astype(jnp.float32) \
+        + p["Dense_0"]["bias"].astype(jnp.float32)
+    x = x * p["fc1_gamma"] + p["fc1_beta"]
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def _ir_unit(x, up, stride, dtype, reduce=None):
+    """One IR unit.  ``reduce`` is applied after the second conv: the
+    tensor-parallel path passes a model-axis psum (row-parallel output
+    reassembly); the pipeline schedule runs units whole (reduce=None).
+    One copy of the unit topology for both parallel schemes."""
     y = _bn(x, up["_FrozenBN_0"], dtype)
-    # Column-parallel: kernel (3, 3, cin, f/k) -> local channel slice.
+    # Column-parallel under TP: kernel (3, 3, cin, f/k) channel slice.
     y = _conv(y, up["Conv_0"]["kernel"], dtype=dtype)
     y = _bn(y, up["_FrozenBN_1"], dtype)          # per-channel: local
     y = _prelu(y, up["_PReLU_0"]["alpha"], dtype)
-    # Row-parallel: kernel (3, 3, f/k, f) contracts the local slice;
-    # psum over the model axis restores the full output channels.
+    # Row-parallel under TP: contract the local slice, then reduce.
     y = _conv(y, up["Conv_1"]["kernel"], stride=stride, dtype=dtype)
-    y = lax.psum(y, MODEL_AXIS)
+    if reduce is not None:
+        y = reduce(y)
     y = _bn(y, up["_FrozenBN_2"], dtype)
     if "Conv_2" in up:
         sc = _conv(x, up["Conv_2"]["kernel"], stride=stride,
@@ -90,19 +112,11 @@ def _ir_unit(x, up, stride, dtype):
 
 def _forward(params, images, *, unit_strides, dtype):
     p = params["params"] if "params" in params else params
-    x = images.astype(dtype)
-    x = _conv(x, p["Conv_0"]["kernel"], dtype=dtype)
-    x = _bn(x, p["_FrozenBN_0"], dtype)
-    x = _prelu(x, p["_PReLU_0"]["alpha"], dtype)
+    x = _stem(p, images, dtype)
+    psum = lambda v: lax.psum(v, MODEL_AXIS)  # noqa: E731
     for i, stride in enumerate(unit_strides):
-        x = _ir_unit(x, p[f"_IRUnit_{i}"], stride, dtype)
-    x = _bn(x, p["_FrozenBN_1"], dtype)
-    x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
-    x = x @ p["Dense_0"]["kernel"].astype(jnp.float32) \
-        + p["Dense_0"]["bias"].astype(jnp.float32)
-    x = x * p["fc1_gamma"] + p["fc1_beta"]
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, 1e-12)
+        x = _ir_unit(x, p[f"_IRUnit_{i}"], stride, dtype, reduce=psum)
+    return _head(p, x, dtype)
 
 
 def _unit_strides(stage_sizes) -> tuple[int, ...]:

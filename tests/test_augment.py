@@ -70,3 +70,52 @@ def test_shift_translates_content():
     # Shift fraction 0.2 of 33 px => peak stays within ~7 px of center.
     assert abs(int(peak[0]) - 16) <= 8
     assert abs(int(peak[1]) - 16) <= 8
+
+
+def test_keras_pullback_matches_ndimage_oracle():
+    """The augment transforms must equal keras apply_transform exactly:
+    the SAME (row, col) pull-back matrix given to scipy.ndimage
+    affine_transform with order=0 + mode='nearest' (what old Keras'
+    random_rotation/shear/shift do) must reproduce our warp pixel for
+    pixel."""
+    import numpy as np
+    from scipy import ndimage as ndi
+
+    from alink_tpu.ops.augment import _pullback_to_forward
+    from alink_tpu.ops.image import affine_warp_batch
+
+    rng = np.random.default_rng(0)
+    h, w = 20, 16
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+
+    theta = 0.31
+    shear = 0.2
+    cases = [
+        ("rotation",
+         np.array([[np.cos(theta), -np.sin(theta)],
+                   [np.sin(theta), np.cos(theta)]]),
+         np.zeros(2), True),
+        ("shear",
+         np.array([[1.0, -np.sin(shear)], [0.0, np.cos(shear)]]),
+         np.zeros(2), True),
+        ("shift", np.eye(2), np.array([3.2, -2.6]), False),
+    ]
+    for name, A_rc, t_rc, center in cases:
+        # keras side: transform_matrix_offset_center about (d/2 + 0.5).
+        A_full, t_full = A_rc, t_rc
+        if center:
+            o = np.array([h / 2.0 + 0.5, w / 2.0 + 0.5])
+            t_full = o - A_rc @ o + t_rc
+        want = np.stack([
+            ndi.affine_transform(img[..., c], A_full, offset=t_full,
+                                 order=0, mode="nearest")
+            for c in range(3)
+        ], axis=-1)
+        M = _pullback_to_forward(h, w, jnp.asarray(A_rc, jnp.float32),
+                                 jnp.asarray(t_rc, jnp.float32), center)
+        got = np.asarray(affine_warp_batch(
+            jnp.asarray(img)[None], jnp.asarray(M)[None], (h, w),
+            border="nearest", interp="nearest")[0])
+        assert np.array_equal(got, want), (
+            f"{name}: {np.abs(got - want).max()} max diff, "
+            f"{(got != want).mean():.3f} frac differing")

@@ -239,6 +239,21 @@ def test_crop_and_resize_zero_padding_outside():
     np.testing.assert_allclose(out, 0.0)
 
 
+def test_crop_and_resize_upscale_matches_crop_then_resize(rng):
+    """Boxes SMALLER than out_size (P-Net 20 px boxes -> 24 px R-Net
+    crops at min_size 20): the reference crops first and cv2.resize
+    replicates the crop's border taps — it never reads image pixels
+    outside the box.  Differential oracle: crop the box in NumPy, then
+    resize the crop with the package's own (cv2-parity-tested) resize."""
+    img = jnp.asarray(
+        np.asarray(jax.random.uniform(rng, (12, 12, 3))) * 255)
+    box = jnp.array([[3.0, 2.0, 7.0, 6.0]])  # 5x5 box -> 8x8 output
+    ours = np.asarray(imops.crop_and_resize(img, box, (8, 8))[0])
+    crop = np.asarray(img)[2:7, 3:8]
+    want = np.asarray(imops.resize(jnp.asarray(crop), (8, 8)))
+    np.testing.assert_allclose(ours, want, atol=1e-3)
+
+
 def test_resize_matches_cv2_when_available(rng):
     cv2 = pytest.importorskip("cv2")
     img = np.asarray(jax.random.uniform(rng, (17, 13, 3))) * 255
