@@ -46,16 +46,31 @@ def make_smallres_state(key, config: MTPConfig) -> T.TrainState:
     )
 
 
-def smallres_score_fn(state: T.TrainState, low_res: int):
-    """(probes, gallery) -> (N, G) genuine scores for the top-1 eval."""
+def smallres_score_fn(state: T.TrainState, low_res: int,
+                      probe_chunk: int = 32):
+    """(probes, gallery) -> (N, G) genuine scores for the top-1 eval.
+
+    Chunked over probes: one call materialises ``probe_chunk * G`` image
+    pairs at a time instead of the full N x G grid (Multi-PIE scale:
+    ~1000 probes x ~337 gallery x two 48 px images would be ~19 GB in
+    one shot).  ``low_res`` documents the expected input resolution.
+    """
+    del low_res  # images arrive already at the student resolution
 
     def score(probes, gallery):
+        probes = jnp.asarray(probes)
+        gallery = jnp.asarray(gallery)
         n, g = probes.shape[0], gallery.shape[0]
-        pl = jnp.repeat(jnp.asarray(probes), g, axis=0)
-        gr = jnp.tile(jnp.asarray(gallery), (n, 1, 1, 1))
-        logits = state.logits_fn(state.params, preprocess.smallres(pl),
-                                 preprocess.smallres(gr))
-        return jax.nn.softmax(logits, axis=-1)[:, 1].reshape(n, g)
+        pg = preprocess.smallres(gallery)
+        rows = []
+        for s in range(0, n, probe_chunk):
+            pc = probes[s:s + probe_chunk]
+            k = pc.shape[0]
+            pl = jnp.repeat(preprocess.smallres(pc), g, axis=0)
+            gr = jnp.tile(pg, (k, 1, 1, 1))
+            logits = state.logits_fn(state.params, pl, gr)
+            rows.append(jax.nn.softmax(logits, axis=-1)[:, 1].reshape(k, g))
+        return jnp.concatenate(rows, axis=0)
 
     return score
 

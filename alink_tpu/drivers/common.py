@@ -212,17 +212,27 @@ def train_or_load_committee(
     state = create_ensemble_state(head, key, num_members, example, example,
                                   learning_rate=learning_rate)
 
-    restored, all_ok = [], True
+    restored, oks = [], []
     for i in range(1, num_members + 1):
         member_like = unstack_params(state.params, i - 1)
         params, ok = T.maybe_restore(f"{basepath}{i}", member_like)
         restored.append(params)
-        all_ok = all_ok and ok
-    if all_ok:
-        state = state.replace(params=stack_params(restored))
-    if not all_ok or refine:
+        oks.append(ok)
+    # Keep every member that DID restore (reference loads or trains
+    # per member, ALINK.py:122-132): a save loop interrupted after
+    # member k must not throw k checkpoints away and retrain everything.
+    # The vmapped trainer runs all members regardless (one program), but
+    # restored members' post-training params are overwritten with their
+    # checkpointed values before saving, so their checkpoints are stable.
+    state = state.replace(params=stack_params(restored))
+    if not all(oks) or refine:
         state, _ = train_ensemble(state, gen, epochs=epochs,
                                   batch_size=batch_size, n_steps=n_steps)
+        if not refine:
+            merged = [restored[i] if oks[i]
+                      else unstack_params(state.params, i)
+                      for i in range(num_members)]
+            state = state.replace(params=stack_params(merged))
         for i in range(1, num_members + 1):
             T.save(f"{basepath}{i}", unstack_params(state.params, i - 1))
     return Committee(head, state.params, noise_names), head

@@ -106,10 +106,16 @@ class VGGFaceResNet50(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        # keras_vggface stem: Conv2D(7x7, s2, padding='same') — TF 'SAME'
+        # pads ASYMMETRICALLY ((2,3) at 224) — then MaxPooling2D(3x3, s2)
+        # with its default VALID padding (55x55 at 224).  The torchvision
+        # convention (symmetric (3,3) + padded pool -> 56x56) selects a
+        # shifted pixel grid and would break parity with converted
+        # keras_vggface checkpoints.
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)
         for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             if self.scan_units:
@@ -180,12 +186,14 @@ def vggface_resnet50_fused_apply(
     P = variables["params"]
     dt = jnp.bfloat16
     y = x.astype(dt)
+    # Same keras_vggface stem as VGGFaceResNet50.__call__: TF-'SAME'
+    # conv (asymmetric pad) + VALID pool.
     y = jax.lax.conv_general_dilated(
-        y, P["Conv_0"]["kernel"].astype(dt), (2, 2), ((3, 3), (3, 3)),
+        y, P["Conv_0"]["kernel"].astype(dt), (2, 2), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     s, b = _fold_bn(P["_FrozenBN_0"])
     y = jnp.maximum(y * s.astype(dt) + b.astype(dt), 0)
-    y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    y = nn.max_pool(y, (3, 3), strides=(2, 2))
 
     def strided_block(bp: dict, y: jnp.ndarray) -> jnp.ndarray:
         """Stride-2 bottleneck on XLA (3 of 16 blocks)."""
@@ -268,10 +276,16 @@ class SENet50(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        # keras_vggface stem: Conv2D(7x7, s2, padding='same') — TF 'SAME'
+        # pads ASYMMETRICALLY ((2,3) at 224) — then MaxPooling2D(3x3, s2)
+        # with its default VALID padding (55x55 at 224).  The torchvision
+        # convention (symmetric (3,3) + padded pool -> 56x56) selects a
+        # shifted pixel grid and would break parity with converted
+        # keras_vggface checkpoints.
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)
         for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for b in range(blocks):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable, Sequence
 
@@ -83,7 +84,9 @@ class MicroBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._q.put((item, fut))
+            # Arrival timestamp: the delay window is anchored to when the
+            # OLDEST request arrived, not when the worker picked it up.
+            self._q.put((item, fut, time.monotonic()))
         return fut
 
     def __call__(self, item):
@@ -91,11 +94,16 @@ class MicroBatcher:
         return self.submit(item).result()
 
     def _drain(self, first):
-        """Collect up to max_batch requests within the delay window."""
-        import time
+        """Collect up to max_batch requests within the delay window.
 
+        The deadline counts from the first request's ARRIVAL: if the
+        worker was busy with the previous batch when it arrived, the
+        remaining budget is already partly (or fully) spent — otherwise
+        a queued request could wait ~2x max_delay_s under sustained
+        load.
+        """
         batch = [first]
-        deadline = time.monotonic() + self.max_delay_s
+        deadline = first[2] + self.max_delay_s
         while len(batch) < self.max_batch:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
@@ -122,18 +130,18 @@ class MicroBatcher:
             # kill the worker thread (which would wedge every later
             # submit forever).
             try:
-                items = [np.asarray(it) for it, _ in batch]
+                items = [np.asarray(it) for it, _, _ in batch]
                 n = len(items)
                 bucket = next(b for b in self.buckets if b >= n)
                 padded = np.stack(items + [items[-1]] * (bucket - n))
                 out = np.asarray(self.fn(padded))
                 results = [out[i] for i in range(n)]
             except Exception as exc:  # noqa: BLE001 — fan out to futures
-                for _, fut in batch:
+                for _, fut, _ in batch:
                     if not fut.cancelled():
                         fut.set_exception(exc)
                 continue
-            for res, (_, fut) in zip(results, batch):
+            for res, (_, fut, _) in zip(results, batch):
                 if not fut.cancelled():
                     fut.set_result(res)
 
@@ -174,6 +182,11 @@ class Verifier:
         self.mesh = mesh
         self._gallery_feats: jnp.ndarray | None = None
         self._gallery_labels: list = []
+        # enroll() is read-concat-write; concurrent request threads (the
+        # MicroBatcher serving model) would otherwise lose one thread's
+        # feature rows while BOTH label extends survive — silently
+        # desynchronising labels from features forever after.
+        self._gallery_lock = threading.Lock()
 
     # -- verification ------------------------------------------------------
 
@@ -194,16 +207,18 @@ class Verifier:
             self._gallery_feats.shape[0])
 
     def enroll(self, images, labels: Sequence) -> None:
-        """Add faces to the device-resident gallery."""
-        feats = self.embed(images)
-        if len(labels) != feats.shape[0]:
+        """Add faces to the device-resident gallery (thread-safe)."""
+        if len(labels) != len(images):
+            # Fail before paying a full embed pass for a mislengthed call.
             raise ValueError("labels must match the image batch")
-        if self._gallery_feats is None:
-            self._gallery_feats = feats
-        else:
-            self._gallery_feats = jnp.concatenate(
-                [self._gallery_feats, feats])
-        self._gallery_labels.extend(labels)
+        feats = self.embed(images)
+        with self._gallery_lock:
+            if self._gallery_feats is None:
+                self._gallery_feats = feats
+            else:
+                self._gallery_feats = jnp.concatenate(
+                    [self._gallery_feats, feats])
+            self._gallery_labels.extend(labels)
 
     def identify(self, probe_images, k: int = 1):
         """Top-k gallery identities per probe.

@@ -150,6 +150,15 @@ class Heartbeat:
         # mtime: beat() refreshes that every iteration, which would
         # extend the grace forever and mask a peer that never launched.
         self._first_beat: float | None = None
+        # Construction time backs the grace anchor for check_peers calls
+        # made BEFORE this process's own first beat (a liveness probe at
+        # startup must not declare every not-yet-launched peer dead).
+        self._created: float = time.time()
+        # Per-process-incarnation nonce: written into the beacon so
+        # barrier markers can be tied to the incarnation that wrote them
+        # (stale markers from a pre-crash attempt must not satisfy a
+        # post-restart barrier).
+        self.session: str = os.urandom(8).hex()
 
     def _path(self, pid: int) -> str:
         return os.path.join(self.directory, f"heartbeat_{pid}")
@@ -158,8 +167,9 @@ class Heartbeat:
         if self._first_beat is None:
             self._first_beat = time.time()
         path = self._path(self.process_id)
-        with open(path, "a"):
-            os.utime(path, None)
+        with open(path, "w") as f:
+            f.write(self.session)
+        os.utime(path, None)
 
     def last_seen(self, pid: int) -> float | None:
         """Seconds since ``pid``'s last beat, or None if never seen."""
@@ -177,15 +187,18 @@ class Heartbeat:
         process's own first beat — start-up isn't a failure.
         """
         grace = timeout_s if grace_s is None else grace_s
-        since_first = (None if self._first_beat is None
-                       else time.time() - self._first_beat)
+        # Anchor: first beat if any, else construction — a probe before
+        # this process's own first beat is still start-up, not failure.
+        since_first = time.time() - (self._first_beat
+                                     if self._first_beat is not None
+                                     else self._created)
         dead = []
         for pid in range(self.num_processes):
             if pid == self.process_id:
                 continue
             age = self.last_seen(pid)
             if age is None:
-                if since_first is not None and since_first <= grace:
+                if since_first <= grace:
                     continue  # still inside start-up grace
                 dead.append(pid)
             elif age > timeout_s:
@@ -201,6 +214,29 @@ class Heartbeat:
                 f"deadline (seen from process {self.process_id})")
 
 
+def _drop_marker(hb: Heartbeat, name: str) -> None:
+    """Write this process's barrier marker, stamped with its session."""
+    marker = os.path.join(hb.directory, f"{name}_{hb.process_id}")
+    with open(marker, "w") as f:
+        f.write(hb.session)
+
+
+def _marker_session(hb: Heartbeat, name: str, pid: int) -> str | None:
+    try:
+        with open(os.path.join(hb.directory, f"{name}_{pid}")) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def _peer_session(hb: Heartbeat, pid: int) -> str | None:
+    try:
+        with open(hb._path(pid)) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
 def barrier(
     hb: Heartbeat,
     name: str,
@@ -213,26 +249,37 @@ def barrier(
     """File-based barrier with a deadline (unlike a collective, it FAILS
     instead of hanging when a peer died).
 
-    Every process drops ``<name>_<pid>`` and waits until all
-    ``num_processes`` markers exist; raises ``PeerFailure`` on timeout.
-    Callers must use a fresh ``name`` per synchronisation point (e.g.
-    suffix the iteration number).
+    Every process drops ``<name>_<pid>`` stamped with its heartbeat
+    session and waits until all ``num_processes`` markers are present
+    AND current; raises ``PeerFailure`` on timeout.  Callers must use a
+    fresh ``name`` per synchronisation point (e.g. suffix the iteration
+    number).
+
+    Restart safety: a marker counts only if its session stamp matches
+    the peer's CURRENT heartbeat beacon — markers left on the shared
+    filesystem by a pre-crash attempt carry the old incarnation's
+    session, so a resumed job re-synchronises for real instead of
+    sailing through stale markers.  Waiting in the barrier beats every
+    poll (the wait IS this process's liveness).
     """
-    marker = os.path.join(hb.directory, f"{name}_{hb.process_id}")
-    with open(marker, "w"):
-        pass
+    hb.beat()  # beacon carries our session before anyone reads the marker
+    _drop_marker(hb, name)
     deadline = _clock() + timeout_s
+
+    def _present(p: int) -> bool:
+        if p == hb.process_id:
+            return True
+        ms = _marker_session(hb, name, p)
+        return ms is not None and ms == _peer_session(hb, p)
+
     while True:
-        present = sum(
-            os.path.exists(os.path.join(hb.directory, f"{name}_{p}"))
-            for p in range(hb.num_processes))
-        if present == hb.num_processes:
+        if all(_present(p) for p in range(hb.num_processes)):
             return
         if _clock() > deadline:
             missing = [p for p in range(hb.num_processes)
-                       if not os.path.exists(
-                           os.path.join(hb.directory, f"{name}_{p}"))]
+                       if not _present(p)]
             raise PeerFailure(
                 f"barrier '{name}' timed out after {timeout_s:.0f}s; "
                 f"missing process(es) {missing}")
         _sleep(poll_s)
+        hb.beat()

@@ -301,3 +301,39 @@ class TestCommitteeStaging:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-6)
+
+    def test_partial_checkpoints_keep_restored_members(self, tmp_path):
+        """A save loop interrupted after member 1 must not discard that
+        member's checkpoint: on rerun, member 1 keeps its saved params
+        (reference trains-or-loads per member, ALINK.py:122-132) and only
+        the missing member is (re)trained."""
+        import shutil
+
+        from alink_tpu.active.committee import unstack_params
+        from alink_tpu.drivers.common import train_or_load_committee
+
+        rng = np.random.default_rng(1)
+        d = 16
+
+        def gen():
+            while True:
+                l = rng.normal(size=(8, d)).astype(np.float32)
+                r = rng.normal(size=(8, d)).astype(np.float32)
+                yield (l, r), (rng.random(8) > 0.5).astype(np.int32)
+
+        base = str(tmp_path / "ens")
+        com1, _ = train_or_load_committee(
+            jax.random.PRNGKey(0), d, ("gaussian",), 2, base, gen(),
+            epochs=1, batch_size=8, n_steps=16,
+        )
+        member1 = unstack_params(com1.params, 0)
+        shutil.rmtree(base + "2")  # simulate interrupted save loop
+        com2, _ = train_or_load_committee(
+            jax.random.PRNGKey(7), d, ("gaussian",), 2, base, gen(),
+            epochs=1, batch_size=8, n_steps=16,
+        )
+        for x, y in zip(jax.tree.leaves(member1),
+                        jax.tree.leaves(unstack_params(com2.params, 0))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+        assert os.path.isdir(base + "2")  # missing member re-saved

@@ -255,11 +255,14 @@ class TestHeartbeat:
 
 class TestBarrier:
     def test_all_present_returns(self, tmp_path):
+        from alink_tpu.utils.resilience import _drop_marker
+
         d = str(tmp_path)
         hs = [Heartbeat(d, p, 3) for p in range(3)]
-        # Peers 1 and 2 already arrived (their markers exist).
+        # Peers 1 and 2 already arrived: beacon + session-stamped marker.
         for h in hs[1:]:
-            open(os.path.join(d, f"sync0_{h.process_id}"), "w").close()
+            h.beat()
+            _drop_marker(h, "sync0")
         barrier(hs[0], "sync0", timeout_s=5.0, _sleep=lambda s: None)
 
     def test_timeout_names_missing(self, tmp_path):
@@ -271,14 +274,46 @@ class TestBarrier:
                     _clock=lambda: float(next(clock)))
 
     def test_late_arrival_releases(self, tmp_path):
+        from alink_tpu.utils.resilience import _drop_marker
+
         d = str(tmp_path)
         h0 = Heartbeat(d, 0, 2)
+        h1 = Heartbeat(d, 1, 2)
         arrivals = {"n": 0}
 
         def late_sleep(_):
             arrivals["n"] += 1
             if arrivals["n"] == 2:  # peer shows up on the second poll
-                open(os.path.join(d, "sync2_1"), "w").close()
+                h1.beat()
+                _drop_marker(h1, "sync2")
 
         barrier(h0, "sync2", timeout_s=60.0, _sleep=late_sleep)
         assert arrivals["n"] == 2
+
+    def test_stale_markers_from_previous_attempt_do_not_satisfy(
+            self, tmp_path):
+        """Restart scenario: markers left by a pre-crash incarnation must
+        NOT release a post-restart barrier (the peer's new beacon
+        carries a different session)."""
+        from alink_tpu.utils.resilience import _drop_marker
+
+        d = str(tmp_path)
+        old_h1 = Heartbeat(d, 1, 2)
+        old_h1.beat()
+        _drop_marker(old_h1, "iter_3")     # pre-crash attempt's marker
+        new_h1 = Heartbeat(d, 1, 2)        # peer restarted: new session
+        new_h1.beat()                      # beacon now carries new nonce
+        h0 = Heartbeat(d, 0, 2)
+        clock = iter(range(100))
+        with pytest.raises(PeerFailure, match=r"missing process\(es\) \[1\]"):
+            barrier(h0, "iter_3", timeout_s=3.0, _sleep=lambda s: None,
+                    _clock=lambda: float(next(clock)))
+        # ... and once the restarted peer re-arrives, it releases.
+        _drop_marker(new_h1, "iter_3")
+        barrier(h0, "iter_3", timeout_s=3.0, _sleep=lambda s: None)
+
+    def test_probe_before_first_beat_is_grace(self, tmp_path):
+        """check_peers before this process's own first beat must treat
+        never-seen peers as still starting up, not dead."""
+        h0 = Heartbeat(str(tmp_path), 0, 3)
+        assert h0.check_peers(timeout_s=60.0) == []

@@ -52,12 +52,15 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchResNet50(tnn.Module):
+    # keras_vggface stem: TF-'SAME' conv1 (asymmetric (2,3) padding at
+    # even inputs) and a VALID max pool — NOT torchvision's symmetric
+    # pad-3 conv + padded pool.
     def __init__(self):
         super().__init__()
-        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=0, bias=False)
         self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
         self.relu = tnn.ReLU()
-        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.maxpool = tnn.MaxPool2d(3, stride=2)
         blocks = []
         cin = 64
         for stage, (n, f) in enumerate(zip((3, 4, 6, 3),
@@ -70,6 +73,7 @@ class TorchResNet50(tnn.Module):
         self.blocks = tnn.ModuleList(blocks)
 
     def forward(self, x):
+        x = torch.nn.functional.pad(x, (2, 3, 2, 3))  # TF 'SAME', k7 s2
         x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
         for blk in self.blocks:
             x = blk(x)
@@ -421,9 +425,9 @@ class TorchSEBottleneck(tnn.Module):
 class TorchSENet50(tnn.Module):
     def __init__(self):
         super().__init__()
-        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=0, bias=False)
         self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
-        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.maxpool = tnn.MaxPool2d(3, stride=2)
         blocks = []
         cin = 64
         for stage, (n, f) in enumerate(zip((3, 4, 6, 3),
@@ -436,6 +440,7 @@ class TorchSENet50(tnn.Module):
         self.blocks = tnn.ModuleList(blocks)
 
     def forward(self, x):
+        x = torch.nn.functional.pad(x, (2, 3, 2, 3))  # TF 'SAME', k7 s2
         x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
         for blk in self.blocks:
             x = blk(x)
