@@ -94,7 +94,10 @@ class FaceModel:
         found = jnp.any(det.valid, axis=1)
         lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
         chips = align_faces(images, lmk[:, None], self.cfg.output_size)
-        return chips[:, 0] * found[:, None, None, None], found
+        # where(), not multiply: a no-detection image aligns a garbage
+        # padding landmark row, and a degenerate row can warp to NaN —
+        # 0 * NaN would poison the zeroed chip the contract promises.
+        return jnp.where(found[:, None, None, None], chips[:, 0], 0.0), found
 
     def get_input(self, images: jnp.ndarray) -> jnp.ndarray:
         """Aligned 112x112 face chips (zeroed where no face was found —
@@ -164,10 +167,25 @@ class FaceModel:
         chips, found = self._best_chips(cascade_params, images)
         return self.embedder.apply(embed_params, chips), found
 
-    def get_ga(self, aligned: jnp.ndarray, ga_head, ga_params
+    def get_ga(self, aligned: jnp.ndarray, ga_model, ga_params
                ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Gender/age estimation (face_model.py:95-107): embed the aligned
-        chips and decode the genderage head's 202-d output."""
+        """Gender/age estimation (face_model.py:95-107): run the genderage
+        network on the aligned chips and decode its 202-d output.
+
+        ``ga_model`` is the reference-parity ``GenderAgeResNet50`` (the
+        gamodel checkpoint, convertible via ``tools/convert_mxnet.py
+        genderage``) — or any module whose ``apply(params, chips)``
+        returns (N, 202); batched, vs the reference's batch=1 forward.
+        """
+        from alink_tpu.models.genderage import decode_ga
+
+        return decode_ga(ga_model.apply(ga_params, aligned))
+
+    def get_ga_from_embedding(self, aligned: jnp.ndarray, ga_head, ga_params
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Greenfield alternative to ``get_ga``: decode a lightweight
+        ``GenderAgeHead`` over this model's OWN embeddings, sharing the
+        recognition trunk instead of running a second backbone."""
         from alink_tpu.models.genderage import decode_ga
 
         feats = self.get_feature(aligned)

@@ -104,6 +104,10 @@ class ArcFaceResNet100(nn.Module):
     embedding_dim: int = 512
     dtype: jnp.dtype = jnp.bfloat16
     scan_units: bool = False
+    # L2-normalise the fc1 output (face_model.py:92).  The genderage
+    # checkpoint runs the SAME trunk but its 202-d fc1 output is decoded
+    # raw (face_model.py:95-107) — set False there.
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +138,8 @@ class ArcFaceResNet100(nn.Module):
         beta = self.param("fc1_beta", nn.initializers.zeros,
                           (self.embedding_dim,), jnp.float32)
         x = x * gamma + beta
+        if not self.normalize:
+            return x
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)
 

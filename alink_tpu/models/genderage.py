@@ -1,4 +1,4 @@
-"""Gender/age estimation head.
+"""Gender/age estimation.
 
 Reference: ``code/face_model.py:95-107`` (``FaceModel.get_ga``) — a
 separate MXNet "genderage" checkpoint whose flat output encodes gender as
@@ -7,15 +7,32 @@ argmaxes over the remaining 200 units (the InsightFace genderage
 convention: out[0:2] -> gender, out[2:202] reshaped (100, 2), age =
 sum(argmax, axis=1)).
 
-Rebuilt as a flax head over the shared 112x112 trunk: callers can attach
-it to ArcFace embeddings or train it standalone.  ``decode_ga`` reproduces
-the reference's output decoding exactly.
+Two implementations:
+
+- ``GenderAgeResNet50`` — the reference-parity full model: the gamodel
+  checkpoint is the same LResNet trunk as the recognition models
+  (loaded by the same ``get_model``, face_model.py:52-54), ending in a
+  raw 202-d fc1 (no L2 normalisation).  Real checkpoints load via
+  ``tools/convert_mxnet.py genderage``.
+- ``GenderAgeHead`` — a lightweight greenfield alternative over already-
+  computed ArcFace embeddings (one trunk forward serves both tasks).
+
+``decode_ga`` reproduces the reference's output decoding exactly.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from alink_tpu.models.arcface import ArcFaceResNet100
+
+
+def GenderAgeResNet50(**kwargs) -> ArcFaceResNet100:
+    """The genderage network (face_model.py:95-107): LResNet50E trunk to
+    a raw (unnormalised) 202-d fc1 output; feed aligned 112x112 chips."""
+    kwargs.setdefault("stage_sizes", (3, 4, 14, 3))
+    return ArcFaceResNet100(embedding_dim=202, normalize=False, **kwargs)
 
 
 class GenderAgeHead(nn.Module):

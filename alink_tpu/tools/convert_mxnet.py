@@ -28,6 +28,7 @@ tests/test_convert_mxnet.py, including a full model-r100-ii-shaped
 checkpoint round-tripped into a working forward.
 
 CLI: python -m alink_tpu.tools.convert_mxnet arcface model.npz out_ckpt
+     python -m alink_tpu.tools.convert_mxnet genderage gamodel.params out_ckpt
      python -m alink_tpu.tools.convert_mxnet pnet det1.npz out_ckpt
 """
 
@@ -281,16 +282,30 @@ def arcface_param_tree(
             p[f"_IRUnit_{k}"] = unit
             k += 1
     p["_FrozenBN_1"] = _bn(raw, "bn1")
-    # pre_fc1 flattens 7x7x512 NCHW in MXNet; this model flattens NHWC.
+    # Output head: the "E" layout is BN(bn1) - flatten - FC - [BN(fc1)].
+    # Recognition checkpoints (model-r100-ii etc.) name the FC ``pre_fc1``
+    # and follow it with the ``fc1`` BatchNorm; the genderage checkpoint
+    # (gamodel, loaded by the SAME reference get_model at
+    # face_model.py:52-54) runs the identical trunk to a 202-d fc1 —
+    # accept either a ``pre_fc1`` FC or a bare ``fc1`` FullyConnected,
+    # and make the output BN fold identity when the file has none.
     c = raw["bn1_gamma"].shape[0]
-    hw = int(round((raw["pre_fc1_weight"].shape[1] / c) ** 0.5))
-    p["Dense_0"] = _dense_from_nchw(raw, "pre_fc1", (c, hw, hw))
-    # fc1 output BatchNorm folds into the model's affine gamma/beta.
-    g, b = raw["fc1_gamma"], raw["fc1_beta"]
-    m, v = raw["fc1_moving_mean"], raw["fc1_moving_var"]
-    scale = g / np.sqrt(v + _BN_EPS)
-    p["fc1_gamma"] = np.asarray(scale, np.float32)
-    p["fc1_beta"] = np.asarray(b - m * scale, np.float32)
+    fc = "pre_fc1" if "pre_fc1_weight" in raw else "fc1"
+    if raw[f"{fc}_weight"].ndim != 2:
+        raise KeyError(f"{fc}_weight is not a FullyConnected weight")
+    hw = int(round((raw[f"{fc}_weight"].shape[1] / c) ** 0.5))
+    p["Dense_0"] = _dense_from_nchw(raw, fc, (c, hw, hw))
+    dim = raw[f"{fc}_weight"].shape[0]
+    if fc == "pre_fc1" and "fc1_gamma" in raw:
+        # fc1 output BatchNorm folds into the model's affine gamma/beta.
+        g, b = raw["fc1_gamma"], raw["fc1_beta"]
+        m, v = raw["fc1_moving_mean"], raw["fc1_moving_var"]
+        scale = g / np.sqrt(v + _BN_EPS)
+        p["fc1_gamma"] = np.asarray(scale, np.float32)
+        p["fc1_beta"] = np.asarray(b - m * scale, np.float32)
+    else:
+        p["fc1_gamma"] = np.ones((dim,), np.float32)
+        p["fc1_beta"] = np.zeros((dim,), np.float32)
     return {"params": p}
 
 
@@ -358,8 +373,29 @@ def lnet_param_tree(raw: dict) -> dict:
     return _rnet_like_tree(raw, (64, 3, 3), "conv4", heads)
 
 
+def genderage_param_tree(raw: dict,
+                         stage_sizes: tuple[int, ...] | None = None) -> dict:
+    """Map the genderage checkpoint (face_model.py:95-107) onto
+    ``ArcFaceResNet100(embedding_dim=202, normalize=False)``.
+
+    The gamodel is the same LResNet trunk the recognition checkpoints
+    use, ending in a 202-d fc1 (gender 2 + age 100x2; see
+    ``models.genderage.decode_ga``), so the mapping is the arcface one —
+    the function exists so the CLI names the capability and so the
+    202-d output width is verified rather than assumed.
+    """
+    tree = arcface_param_tree(raw, stage_sizes=stage_sizes)
+    dim = tree["params"]["fc1_gamma"].shape[0]
+    if dim != 202:
+        raise ValueError(
+            f"genderage checkpoints end in a 202-d fc1, got {dim} — "
+            "use the 'arcface' converter for recognition checkpoints")
+    return tree
+
+
 _CONVERTERS = {
     "arcface": arcface_param_tree,
+    "genderage": genderage_param_tree,
     "pnet": pnet_param_tree,
     "rnet": rnet_param_tree,
     "onet": onet_param_tree,
@@ -378,10 +414,10 @@ def main(argv=None) -> None:
                          "for non-standard checkpoints")
     args = ap.parse_args(argv)
     if args.stage_sizes is not None:
-        if args.model != "arcface":
-            ap.error("--stage_sizes only applies to the arcface converter")
+        if args.model not in ("arcface", "genderage"):
+            ap.error("--stage_sizes only applies to the LResNet converters")
         sizes = tuple(int(s) for s in args.stage_sizes.split(","))
-        tree = arcface_param_tree(load_raw(args.src), stage_sizes=sizes)
+        tree = _CONVERTERS[args.model](load_raw(args.src), stage_sizes=sizes)
     else:
         tree = _CONVERTERS[args.model](load_raw(args.src))
     from alink_tpu.train.checkpoint import save

@@ -68,7 +68,11 @@ def main():
         )
     else:
         cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
-    embedder = ArcFaceResNet100()
+    if os.environ.get("EMBEDDER") == "r50":
+        from alink_tpu.models import ArcFaceResNet50
+        embedder = ArcFaceResNet50()
+    else:
+        embedder = ArcFaceResNet100()
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3)))
     cparams = init_cascade_params(jax.random.PRNGKey(1))

@@ -28,6 +28,11 @@ from alink_tpu.detect.cascade import (_ONET, _PNET, _RNET, CascadeConfig,
                                       detect_faces, init_cascade_params)
 from alink_tpu.models import preprocess
 from alink_tpu.ops.image import resize
+import pytest
+
+# Full e2e layer: runs in the nightly/full suite (see pytest.ini tiers).
+pytestmark = pytest.mark.slow
+
 
 
 # ---------------------------------------------------------------------------

@@ -37,9 +37,47 @@ def _conv_raw(rng, base, cin, cout, k=3, bias=False):
 
 
 def _synth_arcface_raw(stage_sizes=(1, 1, 1, 1),
-                       widths=(64, 128, 256, 512)):
-    rng = np.random.default_rng(0)
+                       widths=(64, 128, 256, 512),
+                       emb=512, tail="pre_fc1_bn", seed=0,
+                       calibrated=False):
+    """Synthesize an LResNet raw dict in insightface naming.
+
+    ``tail``: "pre_fc1_bn" = recognition layout (pre_fc1 FC + fc1 BN,
+    model-r100-ii); "fc1_fc" = a bare fc1 FullyConnected with no output
+    BN (the other layout genderage-style checkpoints use).
+
+    ``calibrated``: variance-preserving weight scales (He-init convs,
+    near-identity BN affines).  N(0,1) conv entries amplify activations
+    ~sqrt(9*cin) per layer — harmless at the toy depths the unit tests
+    use, guaranteed overflow through a real r100's 100 layers, so the
+    real-shape integration fixtures need finite-forward statistics.
+    Names and shapes are identical either way.
+    """
+    rng = np.random.default_rng(seed)
     raw = {}
+    if calibrated:
+        def _conv_raw(rng, base, cin, cout, k=3, bias=False):
+            std = np.sqrt(2.0 / (k * k * cin))
+            out = {f"{base}_weight": (std * rng.normal(
+                size=(cout, cin, k, k))).astype(np.float32)}
+            if bias:
+                out[f"{base}_bias"] = np.zeros((cout,), np.float32)
+            return out
+
+        def _bn_raw(rng, base, c):
+            return {
+                f"{base}_gamma": rng.uniform(0.8, 1.2, (c,)).astype(
+                    np.float32),
+                f"{base}_beta": (0.1 * rng.normal(size=(c,))).astype(
+                    np.float32),
+                f"{base}_moving_mean": (0.1 * rng.normal(size=(c,))).astype(
+                    np.float32),
+                f"{base}_moving_var": rng.uniform(0.9, 1.1, (c,)).astype(
+                    np.float32),
+            }
+    else:
+        _conv_raw = globals()["_conv_raw"]
+        _bn_raw = globals()["_bn_raw"]
     raw.update(_conv_raw(rng, "conv0", 3, 64))
     raw.update(_bn_raw(rng, "bn0", 64))
     raw["relu0_gamma"] = rng.uniform(0.1, 0.3, (64,)).astype(np.float32)
@@ -58,11 +96,15 @@ def _synth_arcface_raw(stage_sizes=(1, 1, 1, 1),
                 raw.update(_conv_raw(rng, f"{base}_conv1sc", cin, w, k=1))
                 raw.update(_bn_raw(rng, f"{base}_sc", w))
             cin = w
-    raw.update(_bn_raw(rng, "bn1", 512))
-    raw["pre_fc1_weight"] = rng.normal(
-        size=(512, 512 * 7 * 7)).astype(np.float32)
-    raw["pre_fc1_bias"] = rng.normal(size=(512,)).astype(np.float32)
-    raw.update(_bn_raw(rng, "fc1", 512))
+    cw = widths[-1]
+    raw.update(_bn_raw(rng, "bn1", cw))
+    fc = "pre_fc1" if tail == "pre_fc1_bn" else "fc1"
+    fc_std = np.sqrt(1.0 / (cw * 7 * 7)) if calibrated else 1.0
+    raw[f"{fc}_weight"] = (fc_std * rng.normal(
+        size=(emb, cw * 7 * 7))).astype(np.float32)
+    raw[f"{fc}_bias"] = rng.normal(size=(emb,)).astype(np.float32)
+    if tail == "pre_fc1_bn":
+        raw.update(_bn_raw(rng, "fc1", emb))
     return raw
 
 
@@ -130,6 +172,43 @@ def test_fc1_bn_folding():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_genderage_tree_matches_model_and_decodes():
+    """The genderage converter maps a gamodel-shaped checkpoint onto
+    GenderAgeResNet50 (202-d raw fc1, no L2 norm) and the decode runs."""
+    from alink_tpu.models.genderage import GenderAgeResNet50, decode_ga
+
+    raw = _synth_arcface_raw(stage_sizes=(1, 1, 1, 1), emb=202)
+    tree = cm.genderage_param_tree(raw, stage_sizes=(1, 1, 1, 1))
+    model = GenderAgeResNet50(stage_sizes=(1, 1, 1, 1), dtype=jnp.float32)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+    assert _tree_shapes(tree) == _tree_shapes(want)
+    out = model.apply(jax.tree.map(jnp.asarray, tree),
+                      jnp.ones((2, 112, 112, 3)))
+    assert out.shape == (2, 202)
+    # Raw fc1: NOT unit-norm (normalize=False — face_model.py:95-107
+    # decodes raw outputs, unlike get_feature's L2 at :92).
+    assert not np.allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0)
+    gender, age = decode_ga(out)
+    assert gender.shape == (2,) and age.shape == (2,)
+
+
+def test_genderage_bare_fc1_layout():
+    """A checkpoint whose head is a bare fc1 FullyConnected (no output
+    BN) converts with an identity affine fold."""
+    raw = _synth_arcface_raw(stage_sizes=(1, 1, 1, 1), emb=202,
+                             tail="fc1_fc")
+    tree = cm.genderage_param_tree(raw, stage_sizes=(1, 1, 1, 1))["params"]
+    np.testing.assert_array_equal(tree["fc1_gamma"], np.ones(202))
+    np.testing.assert_array_equal(tree["fc1_beta"], np.zeros(202))
+    assert tree["Dense_0"]["kernel"].shape == (512 * 7 * 7, 202)
+
+
+def test_genderage_rejects_recognition_width():
+    raw = _synth_arcface_raw(stage_sizes=(1, 1, 1, 1))  # 512-d fc1
+    with pytest.raises(ValueError, match="202"):
+        cm.genderage_param_tree(raw, stage_sizes=(1, 1, 1, 1))
+
+
 def test_dense_nchw_to_nhwc_permutation():
     # Weight encoding W[o, c*H*W + h*W + w] = c*100 + h*10 + w must land
     # at flax row (h*W + w)*C + c.
@@ -153,8 +232,27 @@ def test_conv_oihw_to_hwio():
     np.testing.assert_array_equal(k[1, 2, 0, 1], w[1, 0, 1, 2])
 
 
-def _synth_mtcnn_raw(net):
+def _synth_mtcnn_raw(net, calibrated=False):
+    """MTCNN det1-4 raw dicts at the released checkpoints' exact shapes.
+
+    ``calibrated`` draws He-scaled weights so tower outputs stay in a
+    sane range (raw N(0,1) weights saturate the softmax heads and
+    regress boxes to ~1e16 — fine for mapping checks, useless for
+    end-to-end fixtures).
+    """
     rng = np.random.default_rng(1)
+    scale = (lambda cin, k: np.sqrt(2.0 / (k * k * cin))) if calibrated \
+        else (lambda cin, k: 1.0)
+
+    def _conv_raw(rng, base, cin, cout, k=3, bias=True):
+        out = {f"{base}_weight": (scale(cin, k) * rng.normal(
+            size=(cout, cin, k, k))).astype(np.float32)}
+        if bias:
+            out[f"{base}_bias"] = (np.zeros((cout,), np.float32)
+                                   if calibrated else
+                                   rng.normal(size=(cout,)).astype(
+                                       np.float32))
+        return out
     if net == "pnet":
         raw = {}
         for i, (cin, cout, k) in enumerate(
@@ -183,14 +281,16 @@ def _synth_mtcnn_raw(net):
         raw[f"prelu{i}_gamma"] = rng.uniform(
             0.2, 0.3, (cout,)).astype(np.float32)
     cflat = int(np.prod(chw))
-    raw[f"{fc}_weight"] = rng.normal(size=(width, cflat)).astype(np.float32)
+    raw[f"{fc}_weight"] = (scale(cflat, 1) * rng.normal(
+        size=(width, cflat))).astype(np.float32)
     raw[f"{fc}_bias"] = rng.normal(size=(width,)).astype(np.float32)
     raw[f"prelu{len(convs) + 1}_gamma"] = rng.uniform(
         0.2, 0.3, (width,)).astype(np.float32)
     for name, odim in heads.items():
-        raw[f"{name}_weight"] = rng.normal(
-            size=(odim, width)).astype(np.float32)
-        raw[f"{name}_bias"] = rng.normal(size=(odim,)).astype(np.float32)
+        raw[f"{name}_weight"] = (scale(width, 1) * rng.normal(
+            size=(odim, width))).astype(np.float32)
+        raw[f"{name}_bias"] = (0.1 * rng.normal(
+            size=(odim,))).astype(np.float32)
     return raw
 
 

@@ -19,6 +19,10 @@ from alink_tpu.drivers.alink_mtp import run_alink_mtp
 from alink_tpu.drivers.existing_al import run_existing_al
 from alink_tpu.drivers import visualize_noise
 
+# Full e2e layer: runs in the nightly/full suite (see pytest.ini tiers).
+pytestmark = pytest.mark.slow
+
+
 SIZE = 12
 FDIM = SIZE * SIZE * 3
 

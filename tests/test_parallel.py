@@ -13,6 +13,9 @@ from alink_tpu.parallel import (
     shard_batch,
 )
 
+# Full e2e layer: runs in the nightly/full suite (see pytest.ini tiers).
+pytestmark = pytest.mark.slow
+
 
 class TestMesh:
     def test_infer_shapes(self):

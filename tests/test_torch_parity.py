@@ -22,6 +22,10 @@ import torch.nn as tnn  # noqa: E402
 
 from alink_tpu.models import VGGFaceResNet50  # noqa: E402
 
+# Full e2e layer: runs in the nightly/full suite (see pytest.ini tiers).
+pytestmark = pytest.mark.slow
+
+
 
 class TorchBottleneck(tnn.Module):
     """Caffe-style bottleneck: stride on the first 1x1 conv."""

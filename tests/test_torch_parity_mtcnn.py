@@ -18,6 +18,10 @@ import torch.nn as tnn  # noqa: E402
 
 from alink_tpu.models.mtcnn import LNet, ONet, PNet, RNet  # noqa: E402
 
+# Full e2e layer: runs in the nightly/full suite (see pytest.ini tiers).
+pytestmark = pytest.mark.slow
+
+
 
 def _port_conv(tconv):
     out = {"kernel": jnp.asarray(
