@@ -20,11 +20,13 @@ unlabeled pool or the training replay no longer fits one slice:
   ``native/liballoader``) and the shards assemble into one globally
   sharded jax.Array with zero cross-host data movement.
 
-Everything here is exercised in-process by the test suite (the
-single-process degenerate paths are exact) and shape-checked on the
-virtual 8-device CPU mesh; real DCN wiring needs a multi-process launch
-(one ``initialize()`` per host), which no single-machine environment
-can emulate.
+Exercised THREE ways by the test suite: in-process degenerate paths
+(exact), the virtual 8-device CPU mesh, and a REAL 2-process launch —
+``tests/test_distributed_mp.py`` spawns two OS processes that
+``jax.distributed.initialize`` against a localhost coordinator, build
+this mesh across both, assemble a global batch, run a psum-backed
+reduction over the process boundary (gRPC standing in for DCN), and
+detect an abruptly-killed partner via the shared-FS ``Heartbeat``.
 """
 
 from __future__ import annotations
