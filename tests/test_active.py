@@ -679,6 +679,198 @@ class TestSelectionQuality:
         assert alink_bal >= rand_bal - 0.02, msg
 
 
+@pytest.mark.slow
+class TestAblationOrdering:
+    """Figure-3 ablation ordering at toy scale (VERDICT r2 #3).
+
+    The reference's central published claim is the ablation ordering of
+    utilities/create_figure_3.m: noise-mixture A2-LINK (90.01 overall
+    GAR) > A-LINK (88.72) > no-AL (87.05).  On the same synthetic
+    domain-gap harness as TestSelectionQuality, three arms run the FULL
+    loop with identical configs except the noise bank:
+
+      plain  — selection/finetune on the clean channel only (no noise),
+      bank   — the gaussian+speckle noise mixture,
+      adv    — bank + the one-pixel DE adversarial channel (A2-LINK).
+
+    Asserted ordering (balanced accuracy on held-out hard-half pairs,
+    averaged over two deterministic loop seeds):
+
+      bank > plain + margin        (the noise channels ADD value; a
+                                    regression that neutered the noise
+                                    fan-out makes bank degenerate to
+                                    plain and fails here),
+      adv  >= plain                (adding the adversarial channel keeps
+                                    the loop ahead of no-noise),
+      adv  >= bank - tolerance     (it does not materially degrade the
+                                    mixture),
+      plain > base + margin        (AL at all beats no-AL).
+
+    Per-channel contribution is pinned on channel-noised eval pairs:
+    training with the bank must transfer to gaussian- and speckle-
+    corrupted eval far better than plain-channel training does (the
+    augmentation half of the figure-3 effect).  Note the plain arm's
+    single-channel selection passes ~2x the oracle budget of the
+    intersection-gated bank arms and still loses — the ordering is not
+    a budget artifact.
+    """
+
+    ARM_SEEDS = (9, 11)
+
+    @classmethod
+    def setup_class(cls):
+        H = TestSelectionQuality()
+        rng = np.random.default_rng(42)
+        plain_f, disguised_f, Uo = H._make_data(rng)
+        d, K = H.D, H.P // 2
+        Uo_j = jnp.asarray(Uo, jnp.float32)
+
+        def phi(imgs):
+            x = imgs.reshape(imgs.shape[0], -1)
+            return x - (x @ Uo_j) @ Uo_j.T
+
+        def phi_np(x):
+            return np.asarray(phi(jnp.asarray(x)))
+
+        tp_ = plain_f(6, seed=1)
+        tl, tr, ty = H._pairs(tp_, tp_)
+        head, m1a = H._train_head(0, phi_np(tl), phi_np(tr), ty, steps=400)
+        _, m1b = H._train_head(1, phi_np(tl), phi_np(tr), ty, steps=400)
+
+        sp, sd = plain_f(3, seed=2), disguised_f(3, seed=2)
+        R = rng.normal(0, 1, (20, d))
+        R /= np.linalg.norm(R, axis=1, keepdims=True)
+        distr = np.clip(128 + 40 * R[:, None, :]
+                        + 2 * rng.normal(0, 1, (20, 2, d)),
+                        0, 255).astype(np.float32)
+        flat_sp, flat_di = sp.reshape(-1, d), distr.reshape(-1, d)
+        r2 = np.random.default_rng(5)
+        dl, dr = [], []
+        for a in range(len(flat_sp)):
+            for bq in r2.choice(len(flat_di), 4, replace=False):
+                dl.append(flat_sp[a])
+                dr.append(flat_di[bq])
+        parts = [H._pairs(sp, sp), H._pairs(sp[:K], sd[:K]),
+                 H._pairs(sd[:K], sd[:K]),
+                 (np.stack(dl), np.stack(dr),
+                  np.zeros(len(dl), np.int32))]
+        sl = np.concatenate([q[0] for q in parts])
+        sr = np.concatenate([q[1] for q in parts])
+        sy = np.concatenate([q[2] for q in parts])
+        _, m2 = H._train_head(2, sl.reshape(len(sl), -1),
+                              sr.reshape(len(sr), -1), sy, steps=300)
+
+        ep, ed = plain_f(4, seed=3), disguised_f(4, seed=3)
+        el, er, ey = H._pairs(ep[K:], ed[K:])
+
+        # staticmethod: plain functions stored on the class would
+        # otherwise bind as methods and receive self as first arg.
+        cls.H, cls.phi = H, staticmethod(phi)
+        cls.head, cls.m1 = head, (m1a.params, m1b.params)
+        cls.m2 = m2
+        cls.plain_f = staticmethod(plain_f)
+        cls.disguised_f = staticmethod(disguised_f)
+        cls.el, cls.er, cls.ey = el, er, ey
+
+    def _noised_eval(self, channel, seed=77):
+        from alink_tpu.ops import noise as noise_ops
+
+        fn = noise_ops.get_relevant_noise(channel)
+        kl, kr = jax.random.split(jax.random.PRNGKey(seed))
+        nl = np.asarray(jnp.clip(fn(kl, jnp.asarray(self.el)), 0, 255))
+        nr = np.asarray(jnp.clip(fn(kr, jnp.asarray(self.er)), 0, 255))
+        return nl, nr
+
+    def _metrics(self, state, l, r):
+        gen = self.ey == 1
+        g = self.H._accuracy(state, l[gen], r[gen], self.ey[gen])
+        i = self.H._accuracy(state, l[~gen], r[~gen], self.ey[~gen])
+        return g, (g + i) / 2.0
+
+    def _run_arm(self, noise_names, seed):
+        from alink_tpu.ops.pairwise import pair_scores
+
+        H = self.H
+        size = H.SIZE
+        com = Committee.from_param_list(self.head, list(self.m1),
+                                        noise_names=noise_names)
+        cfg = ALinkConfig(noise=noise_names, image_res=(size, size),
+                          feature_res=H.D, alink_bs=4, batch_send=8,
+                          ft_epochs=2, mixture_ratio=1,
+                          disparity_ratio=0.4, eps=0.05)
+
+        def replay():
+            r3 = np.random.default_rng(7)
+            pp = self.plain_f(2, seed=4)
+            while True:
+                l, r, y = H._pairs(pp, pp)
+                idx = r3.permutation(len(y))[:16]
+                yield (l[idx], r[idx]), y[idx]
+
+        kw = {}
+        if "adversarial" in noise_names:
+            def adv_predict(params, l, r):
+                p = pair_scores(params, _identity_featurize(l),
+                                _identity_featurize(r))
+                return jnp.stack([1 - p, p], -1)
+            kw["adversarial_predict"] = adv_predict
+            # Toy-scale DE budget: 2 pixels of a 4x4 image, 3 generations.
+            kw["adversarial_kwargs"] = dict(pixel_count=2, maxiter=3,
+                                            popsize=8)
+        loop = ALinkLoop(cfg, featurize=self.phi, committee=com,
+                         m2_state=self.m2,
+                         student_featurize=_identity_featurize,
+                         replay_gen=replay(),
+                         key=jax.random.PRNGKey(seed), **kw)
+        lp = self.plain_f(H.PER, seed=5).reshape(
+            H.P, H.PER, size, size, 3)
+        ld = self.disguised_f(H.PER, seed=5).reshape(
+            H.P, H.PER, size, size, 3)
+        loop.run(PersonStacks(lp, np.full(H.P, H.PER, np.int32)),
+                 PersonStacks(ld, np.full(H.P, H.PER, np.int32)))
+        budget = sum(log.queried for log in loop.logs)
+        assert budget > 0, f"arm {noise_names} queried nothing"
+        return loop.state.m2_state
+
+    def test_figure3_ordering(self):
+        evals = {
+            "clean": (self.el, self.er),
+            "gaussian": self._noised_eval("gaussian"),
+            "speckle": self._noised_eval("speckle"),
+        }
+        arms = {
+            "plain": ("plain",),
+            "bank": ("gaussian", "speckle"),
+            "adv": ("gaussian", "speckle", "adversarial"),
+        }
+        bal = {}    # arm -> mean clean balanced accuracy over seeds
+        gen_n = {}  # (arm, channel) -> mean genuine acc on noised eval
+        for name, noise_names in arms.items():
+            bals, gens = [], {"gaussian": [], "speckle": []}
+            for seed in self.ARM_SEEDS:
+                st = self._run_arm(noise_names, seed)
+                bals.append(self._metrics(st, *evals["clean"])[1])
+                for ch in ("gaussian", "speckle"):
+                    gens[ch].append(self._metrics(st, *evals[ch])[0])
+            bal[name] = float(np.mean(bals))
+            for ch in ("gaussian", "speckle"):
+                gen_n[name, ch] = float(np.mean(gens[ch]))
+        base_bal = self._metrics(self.m2, *evals["clean"])[1]
+
+        msg = (f"base={base_bal:.3f} plain={bal['plain']:.3f} "
+               f"bank={bal['bank']:.3f} adv={bal['adv']:.3f} | "
+               f"noised-genuine: {gen_n}")
+        # no-AL < AL(plain) < AL(noise bank); adversarial keeps the lead.
+        assert bal["plain"] >= base_bal + 0.05, msg
+        assert bal["bank"] >= bal["plain"] + 0.04, msg
+        assert bal["adv"] >= bal["plain"], msg
+        assert bal["adv"] >= bal["bank"] - 0.08, msg
+        # Each noise channel's contribution, pinned on its own corrupted
+        # eval: neutering the fan-out collapses these gaps to ~0.
+        for ch in ("gaussian", "speckle"):
+            assert gen_n["bank", ch] >= gen_n["plain", ch] + 0.10, msg
+
+
 class TestCheckpointEdgeCases:
     def test_resume_after_stop_condition_runs_nothing(self, tmp_path):
         """A checkpoint saved when the active_ratio stop is already
