@@ -60,8 +60,17 @@ def main():
 
     cfg = CascadeConfig.typical(thresholds=(0.0, 0.0, 0.0))
     cparams = init_cascade_params(jax.random.PRNGKey(1))
-    embedder = (ArcFaceResNet100() if jax.default_backend() == "tpu"
-                else ArcFaceResNet100(stage_sizes=(1, 1, 1, 1)))
+    # EMBEDDER=r50 switches the embed prefix to LResNet50 (the
+    # configuration chasing the 10k target, bench_r50_pipeline.py).
+    import os
+    depth = os.environ.get("EMBEDDER", "r100")
+    if jax.default_backend() != "tpu":
+        embedder = ArcFaceResNet100(stage_sizes=(1, 1, 1, 1))
+    elif depth == "r50":
+        from alink_tpu.models import ArcFaceResNet50
+        embedder = ArcFaceResNet50()
+    else:
+        embedder = ArcFaceResNet100()
     eparams = embedder.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 112, 112, 3)))
     x = jax.random.uniform(jax.random.PRNGKey(2),

@@ -14,6 +14,7 @@
 """
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -116,12 +117,13 @@ def main():
         Ms = _make_alignment_ms(n, jax.random.PRNGKey(5))
         per64 = 64.0 / n
         for rpt in (8, 16, 28):
-            dt = timed(warp_variant, imgs, Ms, rpt)
+            dt = timed(partial(warp_variant, rows_per_tile=rpt), imgs, Ms)
             steps = n * (-(-112 // rpt))
             print(f"n={n} rows_per_tile={rpt:3d} band=128: "
                   f"{dt * 1e3 * per64:6.2f} ms/64  ({steps} steps)",
                   flush=True)
-        dt = timed(warp_variant, imgs, Ms, 16, band=160)
+        dt = timed(partial(warp_variant, rows_per_tile=16, band=160),
+                   imgs, Ms)
         print(f"n={n} rows_per_tile= 16 band=160(full): "
               f"{dt * 1e3 * per64:6.2f} ms/64", flush=True)
 

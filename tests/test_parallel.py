@@ -123,6 +123,35 @@ class TestShardedOps:
         assert boundary_shape(1, 112, stage_sizes, stage_widths) \
             == (28, 64)
 
+    def test_arcface_pipeline_parallel_4_ranks(self):
+        """R-rank GPipe: 4 model ranks x 2 data shards, heterogeneous
+        boundary shapes riding the packed envelope (parallel/pp.py)."""
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel import create_mesh
+        from alink_tpu.parallel.pp import arcface_pp_apply
+
+        mesh = create_mesh((2, 4))
+        stage_sizes = (1, 2, 2, 1)
+        stage_widths = (16, 32, 64, 128)
+        model = ArcFaceResNet100(stage_sizes=stage_sizes,
+                                 stage_widths=stage_widths,
+                                 embedding_dim=16, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3), jnp.float32))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 64, 3),
+                               jnp.float32, 0.0, 255.0)
+        want = model.apply(params, x)
+        # Default FLOP-balanced splits AND an explicit uneven split both
+        # must match the local forward.
+        for splits in (None, (0, 2, 4)):
+            got = arcface_pp_apply(mesh, params, x,
+                                   stage_sizes=stage_sizes,
+                                   stage_widths=stage_widths,
+                                   splits=splits, microbatches=2,
+                                   dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
     def test_pp_validation_errors(self, mesh8):
         from alink_tpu.models import ArcFaceResNet100
         from alink_tpu.parallel import create_mesh
