@@ -148,6 +148,52 @@ def tp_param_specs(params) -> object:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _pad_unit_params(params, n_ranks: int):
+    """Zero-pad the model-sharded unit dims up to multiples of ``n_ranks``.
+
+    Only the four leaves the TP split shards are touched: ``Conv_0``'s
+    output channels (pad kernel with zeros -> padded activations are 0),
+    the middle ``_FrozenBN_1`` (pad mean/beta/gamma 0, var 1 -> 0 maps to
+    0) and ``_PReLU_0`` alpha (pad 1 -> 0 stays 0), and ``Conv_1``'s
+    input channels (pad zeros -> the dead channels contribute nothing to
+    the row-parallel contraction).  Exact: every padded lane carries 0
+    through the whole unit.  Identity when all widths already divide.
+    """
+    def up(n):
+        return -(-n // n_ranks) * n_ranks
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if not k.startswith("_IRUnit_"):
+                out[k] = v
+                continue
+            u = dict(v)
+            f = u["Conv_0"]["kernel"].shape[3]
+            fp = up(f)
+            if fp != f:
+                pad = fp - f
+                u["Conv_0"] = {"kernel": jnp.pad(
+                    u["Conv_0"]["kernel"], ((0, 0),) * 3 + ((0, pad),))}
+                bn = dict(u["_FrozenBN_1"])
+                for name, fill in (("gamma", 0.0), ("beta", 0.0),
+                                   ("mean", 0.0), ("var", 1.0)):
+                    bn[name] = jnp.pad(bn[name], (0, pad),
+                                       constant_values=fill)
+                u["_FrozenBN_1"] = bn
+                u["_PReLU_0"] = {"alpha": jnp.pad(
+                    u["_PReLU_0"]["alpha"], (0, pad), constant_values=1.0)}
+                u["Conv_1"] = {"kernel": jnp.pad(
+                    u["Conv_1"]["kernel"],
+                    ((0, 0), (0, 0), (0, pad), (0, 0)))}
+            out[k] = u
+        return out
+
+    if "params" in params:
+        return {**params, "params": walk(params["params"])}
+    return walk(params)
+
+
 def arcface_tp_apply(
     mesh: Mesh,
     params,
@@ -158,11 +204,14 @@ def arcface_tp_apply(
 ) -> jnp.ndarray:
     """Tensor+data-parallel ArcFace forward over a (data, model) mesh.
 
-    ``images``: (N, H, W, 3) raw RGB, N divisible by the ``data`` axis;
-    every stage width must divide the ``model`` axis.  Equals
+    ``images``: (N, H, W, 3) raw RGB, N divisible by the ``data`` axis.
+    Stage widths need NOT divide the ``model`` axis: non-divisible unit
+    widths are zero-padded up to the next multiple (``_pad_unit_params``
+    — exact, the pad lanes carry zeros end to end).  Equals
     ``ArcFaceResNet100(...).apply(params, images)`` up to the psum's
     cross-block summation order.
     """
+    params = _pad_unit_params(params, mesh.shape[MODEL_AXIS])
     specs = tp_param_specs(params)
     params = jax.device_put(
         params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs))

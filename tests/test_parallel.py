@@ -93,6 +93,32 @@ class TestShardedOps:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_arcface_tensor_parallel_non_divisible_widths(self):
+        """Widths that do NOT divide the model axis run via the
+        pad-and-mask path (_pad_unit_params) and still match the local
+        forward exactly — 3 model ranks over widths 32/64/128/256."""
+        from jax.sharding import Mesh
+
+        from alink_tpu.models import ArcFaceResNet100
+        from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from alink_tpu.parallel.tp import arcface_tp_apply
+
+        mesh = Mesh(np.asarray(jax.devices()[:6]).reshape(2, 3),
+                    (DATA_AXIS, MODEL_AXIS))
+        stage_sizes = (1, 1, 1, 1)
+        model = ArcFaceResNet100(stage_sizes=stage_sizes,
+                                 stage_widths=(32, 64, 128, 256),
+                                 embedding_dim=32, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 56, 56, 3), jnp.float32))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 56, 56, 3),
+                               jnp.float32, 0.0, 255.0)
+        want = model.apply(params, x)
+        got = arcface_tp_apply(mesh, params, x, stage_sizes=stage_sizes,
+                               dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     def test_arcface_pipeline_parallel_matches_local(self, mesh8):
         """2-rank GPipe schedule over the model axis (parallel/pp.py)
         must equal the single-device forward."""
