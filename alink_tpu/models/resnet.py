@@ -48,6 +48,52 @@ class _FrozenBN(nn.Module):
         return x.astype(self.dtype) * scale + shift
 
 
+class _StemConv(nn.Module):
+    """keras_vggface stem conv — Conv2D(64, 7x7, s2, padding='same') —
+    with an EXACT 2x2 space-to-depth reformulation on even inputs.
+
+    TF 'SAME' at even H pads (2, 3); padding (3, 5) instead and zeroing
+    an extra kernel row/col at the top-left makes the tap window
+    8x8-aligned, so the strided 7x7 conv becomes a stride-1 4x4 conv on
+    the 2x2-block-interleaved image (channel = (dy, dx, ch)).  Same
+    arithmetic, reordered summation.  Why: XLA's conv emitter runs the
+    cin=3 strided 7x7 at 32 TF/s (BENCHMARKS.md stage ablation) — the
+    MXU contraction wants more input channels and no stride.  The param
+    tree is unchanged (kernel stays (7, 7, cin, features) under the
+    same module name), so converted keras_vggface checkpoints load
+    as-is.  Odd inputs fall back to the plain conv.
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features), jnp.float32)
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+        hp, wp = h + 8, w + 8
+        xs = xp.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, hp // 2, wp // 2, 4 * cin)
+        k8 = jnp.pad(kernel.astype(self.dtype),
+                     ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * cin, self.features)
+        y = jax.lax.conv_general_dilated(
+            xs, k4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, : h // 2, : w // 2]
+
+
 class _Bottleneck(nn.Module):
     """ResNet-v1 bottleneck: 1x1 -> 3x3 -> 1x1 with identity/projection add."""
 
@@ -112,8 +158,7 @@ class VGGFaceResNet50(nn.Module):
         # convention (symmetric (3,3) + padded pool -> 56x56) selects a
         # shifted pixel grid and would break parity with converted
         # keras_vggface checkpoints.
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
+        x = _StemConv(64, dtype=self.dtype, name="Conv_0")(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)
@@ -282,8 +327,7 @@ class SENet50(nn.Module):
         # convention (symmetric (3,3) + padded pool -> 56x56) selects a
         # shifted pixel grid and would break parity with converted
         # keras_vggface checkpoints.
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
+        x = _StemConv(64, dtype=self.dtype, name="Conv_0")(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)
