@@ -119,9 +119,15 @@ class Committee:
                     )
                 if name == "adversarial":
                     ka, key = jax.random.split(key)
-                    al, ar = attack_ops.one_pixel_attack_pairs(
+                    akw = dict(adversarial_kwargs or {})
+                    # proxy_hw opts into the low-res DE surrogate with
+                    # full-res transfer verification (ops/attack.py).
+                    attack = (attack_ops.one_pixel_attack_pairs_proxy
+                              if "proxy_hw" in akw
+                              else attack_ops.one_pixel_attack_pairs)
+                    al, ar = attack(
                         adversarial_predict, adversarial_params, left, right,
-                        m1_labels, ka, **(adversarial_kwargs or {}),
+                        m1_labels, ka, **akw,
                     )
                 else:  # fgsm (BASELINE.json scope: FGSM + DE one-pixel)
                     al, ar = attack_ops.fgsm_pairs(

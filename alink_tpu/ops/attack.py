@@ -165,6 +165,77 @@ def one_pixel_attack_pairs(
     return perturbed[:, :h], perturbed[:, h:]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("predict_fn", "proxy_hw", "pixel_count", "maxiter",
+                     "popsize"),
+)
+def one_pixel_attack_pairs_proxy(
+    predict_fn: Callable[[object, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    predict_params,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    target_labels: jnp.ndarray,
+    key: jax.Array,
+    *,
+    proxy_hw: tuple[int, int] = (56, 56),
+    pixel_count: int = 40,
+    maxiter: int = 50,
+    popsize: int = 250,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Low-resolution surrogate for ``one_pixel_attack_pairs`` (opt-in).
+
+    Greenfield economics fix (no reference counterpart): the exact
+    DE channel costs ``maxiter x popsize`` full-resolution model
+    forwards per pair — ~1.6 TFLOP/eval through a 224² ResNet50
+    (BENCHMARKS.md "adversarial channel"), unusable off the early-stop
+    path.  The surrogate runs the whole DE search at ``proxy_hw``
+    (model FLOPs scale with pixel count: 16x cheaper at 56² from 224²),
+    maps the winning perturbation back to full resolution (each proxy
+    pixel becomes its sy x sx block), and spends ONE full-resolution
+    forward per pair verifying transfer: pairs where the upscaled
+    perturbation does not reproduce the targeted misclassification
+    fall back to their unattacked halves, so the channel never emits an
+    attack that full-resolution inference disproves.
+
+    Semantics differ from the exact channel (the search explores a
+    coarser pixel grid and a 1/16-cost model view) — off by default;
+    enable by passing ``proxy_hw`` in ``ALinkLoop(adversarial_kwargs=)``.
+
+    ``proxy_hw`` must divide the pair resolution elementwise, and
+    ``predict_fn`` must accept the proxy resolution (fully-convolutional
+    + pooled students do; a fixed-dim raw-flatten head does not — keep
+    the exact channel for those).
+    """
+    from alink_tpu.ops.image import resize
+
+    n, h, w, c = left.shape
+    ph, pw = proxy_hw
+    if h % ph or w % pw:
+        raise ValueError(f"proxy_hw {proxy_hw} must divide ({h}, {w})")
+    sy, sx = h // ph, w // pw
+
+    pl_ = resize(left, (ph, pw))
+    pr_ = resize(right, (ph, pw))
+    al, ar = one_pixel_attack_pairs(
+        predict_fn, predict_params, pl_, pr_, target_labels, key,
+        pixel_count=pixel_count, maxiter=maxiter, popsize=popsize)
+
+    def inject(full, proxy_orig, proxy_att):
+        changed = jnp.any(proxy_att != proxy_orig, axis=-1, keepdims=True)
+        up_mask = jnp.repeat(jnp.repeat(changed, sy, 1), sx, 2)
+        up_vals = jnp.repeat(jnp.repeat(proxy_att, sy, 1), sx, 2)
+        return jnp.where(up_mask, up_vals.astype(full.dtype), full)
+
+    fl = inject(left, pl_, al)
+    fr = inject(right, pr_, ar)
+    # One full-resolution verification forward per pair.
+    probs = predict_fn(predict_params, fl, fr)
+    tclass = jnp.argmax(target_labels, axis=-1)
+    ok = (jnp.argmax(probs, axis=-1) == tclass)[:, None, None, None]
+    return jnp.where(ok, fl, left), jnp.where(ok, fr, right)
+
+
 @partial(jax.jit, static_argnames=("predict_fn",))
 def fgsm_pairs(
     predict_fn: Callable[[object, jnp.ndarray, jnp.ndarray], jnp.ndarray],

@@ -4,7 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from alink_tpu.ops.attack import fgsm_pairs, one_pixel_attack_pairs, perturb_image
+import pytest
+
+from alink_tpu.ops.attack import (fgsm_pairs, one_pixel_attack_pairs,
+                                  one_pixel_attack_pairs_proxy, perturb_image)
 
 
 def test_perturb_image_semantics():
@@ -72,6 +75,47 @@ def test_one_pixel_attack_changes_at_most_k_pixels(rng):
         np.abs(np.asarray(nr) - 50.0).max(axis=-1) > 1e-6
     ).sum()
     assert changed <= k  # k pixels across the concatenated 2HxW image
+
+
+def test_proxy_attack_transfers_or_falls_back(rng):
+    """Low-res surrogate: DE at proxy res, block-injected at full res,
+    kept only when the full-res verification forward reproduces the
+    targeted class (ops/attack.py one_pixel_attack_pairs_proxy)."""
+    n, h, w = 2, 16, 16
+    left = jnp.full((n, h, w, 3), 100.0)
+    right = jnp.full((n, h, w, 3), 100.0)
+    targets = jnp.tile(jnp.array([[0.0, 1.0]]), (n, 1))
+    before = _toy_predict(_TOY_PARAMS, left, right)[:, 1]
+    nl, nr = one_pixel_attack_pairs_proxy(
+        _toy_predict, _TOY_PARAMS, left, right, targets, rng,
+        proxy_hw=(8, 8), pixel_count=3, maxiter=12, popsize=30,
+    )
+    assert nl.shape == left.shape and nr.shape == right.shape
+    after = _toy_predict(_TOY_PARAMS, nl, nr)[:, 1]
+    changed = bool(np.any(np.asarray(nl) != 100.0)
+                   or np.any(np.asarray(nr) != 100.0))
+    if changed:
+        # Every kept perturbation passed the full-res transfer check.
+        assert np.all(np.asarray(after) >= 0.5 - 1e-6)
+        assert np.asarray(after).mean() > np.asarray(before).mean()
+        # Proxy pixels inject as aligned 2x2 blocks at full res.
+        delta = np.abs(np.asarray(nl) - 100.0).max(-1) + np.abs(
+            np.asarray(nr) - 100.0).max(-1)
+        ys, xs = np.nonzero(delta.max(0) > 1e-6)
+        blocks = {(y // 2, x // 2) for y, x in zip(ys, xs)}
+        assert len(ys) == 4 * len(blocks)
+    else:
+        # No transfer: the channel fell back to the unattacked halves.
+        np.testing.assert_array_equal(np.asarray(nl), 100.0)
+
+
+def test_proxy_attack_rejects_non_dividing_resolution(rng):
+    left = jnp.zeros((1, 10, 10, 3))
+    targets = jnp.array([[0.0, 1.0]])
+    with pytest.raises(ValueError, match="divide"):
+        one_pixel_attack_pairs_proxy(
+            _toy_predict, _TOY_PARAMS, left, left, targets, rng,
+            proxy_hw=(4, 4), pixel_count=1, maxiter=1, popsize=5)
 
 
 def test_fgsm_shifts_by_epsilon_sign(rng):
