@@ -326,9 +326,17 @@ class ALinkLoop:
         while db < min(self.device_batch, n):
             db *= 2
         db = min(db, self.device_batch)
+        # Everything downstream of the chunks runs in PADDED pair space
+        # (width n_chunks*db): slicing each chunk back to its real width
+        # would make the select/pack programs' shapes track the exact
+        # per-iteration pair count — a retrace every round the partition
+        # sizes change.  Padding rows (chunk tails, duplicated last pair)
+        # are carried as a validity mask instead and can never be
+        # selected, queried, charged, or trained on.
         m1_chunks, probs_chunks, sl_chunks, sr_chunks = [], [], [], []
-        chunk_spans = []
-        for s in range(0, n, db):
+        chunk_spans = []          # (padded start, real width) per chunk
+        lpad_parts, rpad_parts = [], []
+        for ci, s in enumerate(range(0, n, db)):
             idx = np.arange(s, min(s + db, n))
             take = idx.size
             pad = db - take
@@ -339,14 +347,24 @@ class ALinkLoop:
                 jnp.asarray(left_idx[idx]),
                 jnp.asarray(right_idx[idx]),
             )
-            m1_chunks.append(m1c[:take])
-            probs_chunks.append(pc[:, :take])
+            m1_chunks.append(m1c)
+            probs_chunks.append(pc)
             sl_chunks.append(slc)   # device, padded — gathered post-select
             sr_chunks.append(src)
-            chunk_spans.append((s, take))
+            chunk_spans.append((ci * db, take))
+            lpad_parts.append(left_idx[idx])
+            rpad_parts.append(right_idx[idx])
         m1_genuine = jnp.concatenate(m1_chunks)
-        student_probs = jnp.concatenate(probs_chunks, axis=1)  # (K, N)
+        student_probs = jnp.concatenate(probs_chunks, axis=1)  # (K, n_pad)
         k_noise = student_probs.shape[0]
+        n_pad = int(m1_genuine.shape[0])
+        valid_np = np.zeros(n_pad, np.bool_)
+        y_pad = np.zeros(n_pad, np.float32)
+        for (ps, take) in chunk_spans:
+            valid_np[ps:ps + take] = True
+        y_pad[valid_np] = np.asarray(y, np.float32)
+        left_idx_pad = np.concatenate(lpad_parts)
+        right_idx_pad = np.concatenate(rpad_parts)
 
         def gather_student_all(shares: list[np.ndarray]):
             """Fetch student inputs for every noise channel's selected rows
@@ -365,10 +383,28 @@ class ALinkLoop:
                     sel_k.append(np.full(local.size, k))
                     sel_local.append(local - start)
                 counts = [s.size for s in sel_local]
-                if not sum(counts):
+                w = sum(counts)
+                if not w:
                     continue
-                kk = jnp.asarray(np.concatenate(sel_k))
-                ll = jnp.asarray(np.concatenate(sel_local))
+                # Bucket the gather width to a power of two: the index
+                # width is part of the device gather's compiled signature,
+                # and the per-channel share counts vary every iteration —
+                # unbucketed, each round paid a multi-second retrace of
+                # this one gather (measured ~4.3 s/iter on chip vs ~50 ms
+                # warm).  Pad with (0, 0) — any valid index — and slice
+                # the padding off host-side after the transfer.
+                bw = 1
+                while bw < w:
+                    bw *= 2
+                kk_np = np.concatenate(sel_k)
+                ll_np = np.concatenate(sel_local)
+                if bw > w:
+                    kk_np = np.concatenate(
+                        [kk_np, np.zeros(bw - w, kk_np.dtype)])
+                    ll_np = np.concatenate(
+                        [ll_np, np.zeros(bw - w, ll_np.dtype)])
+                kk = jnp.asarray(kk_np)
+                ll = jnp.asarray(ll_np)
                 both = np.asarray(jnp.concatenate(
                     [slc[kk, ll], src[kk, ll]]))      # ONE fetch per chunk
                 half = both.shape[0] // 2
@@ -388,10 +424,11 @@ class ALinkLoop:
             sel = select_queries(
                 jnp.asarray(student_probs),
                 jnp.asarray(m1_genuine),
-                jnp.asarray(y, jnp.float32),
+                jnp.asarray(y_pad),
                 disparity_ratio=cfg.disparity_ratio,
                 blind_strategy=cfg.blind_strategy,
                 eps=cfg.eps,
+                valid=jnp.asarray(valid_np),
             )
         # All of the round's small selection outputs come back in ONE
         # packed host transfer (round trips, not bytes, dominate here).
@@ -401,9 +438,9 @@ class ALinkLoop:
             sel.selected.astype(jnp.float32),
             jnp.array([sel.oracle_charges], jnp.float32),
         ]))
-        queried_mask = packed[:n]
-        pseudo_all = packed[n:2 * n]
-        selected_count = int(packed[2 * n:3 * n].sum())
+        queried_mask = packed[:n_pad]
+        pseudo_all = packed[n_pad:2 * n_pad]
+        selected_count = int(packed[2 * n_pad:3 * n_pad].sum())
         self.state.active_count += int(packed[-1])
 
         queried = np.flatnonzero(queried_mask)
@@ -427,12 +464,25 @@ class ALinkLoop:
                 finetuned = True
                 with self.timings.phase("finetune"):
                     # Clean raw pairs only for the queried rows (device
-                    # gather from the resident pool).
-                    ql = pool[jnp.asarray(left_idx[queried])].astype(
+                    # gather from the resident pool).  The queried count
+                    # varies every round, and it sets the input shape of
+                    # the gather AND of _finetune's resize/featurize
+                    # programs (the full teacher backbone) — so bucket it
+                    # to a power of two (pad by repeating the last row;
+                    # _finetune discards rows past ``valid`` after the
+                    # device work) or every finetune event pays a
+                    # multi-second featurizer retrace.
+                    q = queried.size
+                    bq = 1
+                    while bq < q:
+                        bq *= 2
+                    qidx = np.concatenate(
+                        [queried, np.repeat(queried[-1:], bq - q)])
+                    ql = pool[jnp.asarray(left_idx_pad[qidx])].astype(
                         jnp.float32)
-                    qr = pool[jnp.asarray(right_idx[queried])].astype(
+                    qr = pool[jnp.asarray(right_idx_pad[qidx])].astype(
                         jnp.float32)
-                    self._finetune(ql, qr, pseudo)
+                    self._finetune(ql, qr, pseudo, valid=q)
 
         log = IterationLog(
             iteration=len(self.logs),
@@ -449,17 +499,28 @@ class ALinkLoop:
             self.metrics.log("alink_iteration", **log._asdict())
         return log
 
-    def _finetune(self, left_raw, right_raw, pseudo):
+    def _finetune(self, left_raw, right_raw, pseudo, valid=None):
         """Buffer + clean/augment + replay mix, then finetune M2
         (ALINK.py:227-253).  ``left_raw``/``right_raw`` are the queried
         subset's raw pixels; their clean student-space versions are
         computed only on the non-augment path that uses them (the
-        augment path re-featurizes from the augmented pixels instead)."""
+        augment path re-featurizes from the augmented pixels instead).
+
+        ``valid``: number of real rows in ``left_raw``/``right_raw`` —
+        the caller pads them to a shape bucket so the resize/featurize
+        programs compile once per bucket instead of once per queried
+        count; rows past ``valid`` are dropped here, after the device
+        work, before anything reaches the training set."""
         cfg = self.config
+        q = len(pseudo) if valid is None else valid
         parts_l = [self.state.buffer_left]
         parts_r = [self.state.buffer_right]
         parts_y = [self.state.buffer_y]
 
+        pseudo = np.asarray(pseudo)
+        pad = len(left_raw) - len(pseudo)
+        pseudo_b = (np.concatenate([pseudo, np.zeros(pad, pseudo.dtype)])
+                    if pad else pseudo)
         if cfg.augment:
             # Augment the raw queried pairs, then map into student space
             # (ALINK.py:241-245 augments pixels and re-featurizes).
@@ -467,14 +528,14 @@ class ALinkLoop:
                 self._next_key(),
                 jnp.asarray(left_raw),
                 jnp.asarray(right_raw),
-                jax.nn.one_hot(jnp.asarray(pseudo), 2),
+                jax.nn.one_hot(jnp.asarray(pseudo_b), 2),
             )
             ali, ari = self._student_inputs(
                 resize(al, self.student_res), resize(ar, self.student_res)
             )
-            parts_l.append(np.asarray(ali))
-            parts_r.append(np.asarray(ari))
-            parts_y.append(np.argmax(np.asarray(ay), axis=-1))
+            parts_l.append(np.asarray(ali)[:q])
+            parts_r.append(np.asarray(ari)[:q])
+            parts_y.append(np.argmax(np.asarray(ay)[:q], axis=-1))
         else:
             # Clean (un-noised) versions of the queried pairs
             # (ALINK.py:247-250), mapped into student space here.
@@ -482,9 +543,9 @@ class ALinkLoop:
                 resize(jnp.asarray(left_raw), self.student_res),
                 resize(jnp.asarray(right_raw), self.student_res),
             )
-            parts_l.append(np.asarray(sfl))
-            parts_r.append(np.asarray(sfr))
-            parts_y.append(pseudo)
+            parts_l.append(np.asarray(sfl)[:q])
+            parts_r.append(np.asarray(sfr)[:q])
+            parts_y.append(pseudo[:q])
 
         if self.replay_gen is not None:
             for _ in range(cfg.mixture_ratio):

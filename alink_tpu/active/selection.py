@@ -42,6 +42,7 @@ def disparity_masks(
     committee_probs: jnp.ndarray,
     disparity_ratio: float,
     blind_strategy: bool,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-noise selection masks (ALINK.py:171-184).
 
@@ -50,15 +51,30 @@ def disparity_masks(
             K noise channels (``dp[j][1]``, ALINK.py:175).
         committee_probs: (N,) committee genuine probability on clean pairs
             (``ensemblePredictions[j][1]``).
+        valid: optional (N,) bool — False rows are shape padding and are
+            never selected.  Lets callers run the selection at a bucketed
+            batch width so the compiled program does not depend on the
+            per-iteration pair count (an exact-width program retraces
+            every round the all-pairs count changes).  Semantics equal
+            the unpadded call on the valid rows: invalid disparities sink
+            to -inf (sorted last, stable order of valid rows preserved)
+            and the take count is floor(valid_count * ratio) — the same
+            ``int(n * ratio)`` the reference computes (ALINK.py:181).
 
     Returns (K, N) bool masks.
     """
     c2 = committee_probs[None, :]
     if blind_strategy:
-        return (student_probs >= 0.5) != (c2 >= 0.5)
+        m = (student_probs >= 0.5) != (c2 >= 0.5)
+        return m if valid is None else m & valid[None, :]
     n = student_probs.shape[1]
-    k_take = int(n * disparity_ratio)
     disparity = jnp.abs(student_probs - c2)  # (K, N)
+    if valid is None:
+        k_take = int(n * disparity_ratio)
+    else:
+        k_take = (jnp.sum(valid).astype(jnp.float32)
+                  * disparity_ratio).astype(jnp.int32)
+        disparity = jnp.where(valid[None, :], disparity, -jnp.inf)
     # Reference: argsort of -|c1-c2| ascending, first k => largest first.
     order = jnp.argsort(-disparity, axis=1)
     ranks = jnp.argsort(order, axis=1)
@@ -97,10 +113,14 @@ def select_queries(
     disparity_ratio: float,
     blind_strategy: bool,
     eps: float,
+    valid: jnp.ndarray | None = None,
 ) -> SelectionResult:
-    """The full selection block (ALINK.py:171-204) in one device pass."""
+    """The full selection block (ALINK.py:171-204) in one device pass.
+
+    ``valid``: optional (N,) bool padding mask — see ``disparity_masks``;
+    padding rows are never selected, queried, or charged."""
     masks = disparity_masks(student_probs, committee_probs, disparity_ratio,
-                            blind_strategy)
+                            blind_strategy, valid=valid)
     selected = intersect_masks(masks)
     queried, charges = oracle_gate(selected, committee_probs, oracle_labels,
                                    eps)

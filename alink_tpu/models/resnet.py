@@ -66,6 +66,7 @@ class _StemConv(nn.Module):
 
     features: int = 64
     dtype: jnp.dtype = jnp.bfloat16
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +75,7 @@ class _StemConv(nn.Module):
                             (7, 7, cin, self.features), jnp.float32)
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
         x = x.astype(self.dtype)
-        if h % 2 or w % 2:
+        if not self.s2d or h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
                 x, kernel.astype(self.dtype), (2, 2), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -148,6 +149,8 @@ class VGGFaceResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.bfloat16
     scan_units: bool = False
+    s2d_stem: bool = False  # space-to-depth stem (exact; measured a wash
+    # fused and slower standalone -- see BENCHMARKS.md stem A/B)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +161,8 @@ class VGGFaceResNet50(nn.Module):
         # convention (symmetric (3,3) + padded pool -> 56x56) selects a
         # shifted pixel grid and would break parity with converted
         # keras_vggface checkpoints.
-        x = _StemConv(64, dtype=self.dtype, name="Conv_0")(x)
+        x = _StemConv(64, dtype=self.dtype, s2d=self.s2d_stem,
+                      name="Conv_0")(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)
@@ -317,6 +321,8 @@ class SENet50(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.bfloat16
+    s2d_stem: bool = False  # space-to-depth stem (exact; measured a wash
+    # fused and slower standalone -- see BENCHMARKS.md stem A/B)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -327,7 +333,8 @@ class SENet50(nn.Module):
         # convention (symmetric (3,3) + padded pool -> 56x56) selects a
         # shifted pixel grid and would break parity with converted
         # keras_vggface checkpoints.
-        x = _StemConv(64, dtype=self.dtype, name="Conv_0")(x)
+        x = _StemConv(64, dtype=self.dtype, s2d=self.s2d_stem,
+                      name="Conv_0")(x)
         x = nn.relu(_FrozenBN(dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         widths = (64, 128, 256, 512)

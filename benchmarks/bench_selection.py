@@ -59,21 +59,31 @@ def main():
                           num_ensemble_models=3, device_batch=db)
         loop = ALinkLoop(cfg, featurize=featurize, committee=committee,
                          m2_state=m2, pool_uint8=True, key=key)
-        loop.run_iteration(plain, dig)  # compile + warm-up
+        # Steady-state protocol: selection outcomes vary per round, so
+        # the post-select gather widths walk their power-of-two buckets
+        # over the first rounds — three warm iterations exhaust the
+        # bucket compiles (one cold bucket used to cost ~4.5 s of
+        # retrace); report the median of three timed rounds.
+        for _ in range(3):
+            loop.run_iteration(plain, dig)
         loop.timings.totals.clear()
         loop.timings.counts.clear()
-        t0 = time.perf_counter()
-        log = loop.run_iteration(plain, dig)
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            log = loop.run_iteration(plain, dig)
+            walls.append(time.perf_counter() - t0)
+        wall = sorted(walls)[1]
         out = {
             "device_batch": db,
             "pairs": log.pairs,
             "noise_channels": len(noise),
             "committee_members": 3,
             "round_seconds": round(wall, 3),
+            "round_seconds_all": [round(w, 3) for w in walls],
             "pairs_per_second": round(log.pairs / wall, 1),
-            "phases_ms": {k: round(v * 1e3, 1)
-                          for k, v in loop.timings.as_dict().items()},
+            "phases_ms_3rounds": {k: round(v * 1e3, 1)
+                                  for k, v in loop.timings.as_dict().items()},
         }
         print(json.dumps(out), flush=True)
 

@@ -34,7 +34,7 @@ def timed(name, fn, *args, iters=30):
         def body(i, carry):
             x0, acc = carry
             out = jnp.mean(fn(x0, *a[1:]).astype(jnp.float32))
-            return x0 + 0.0 * acc, acc + out
+            return x0 + (0.0 * acc).astype(x0.dtype), acc + out
         return jax.lax.fori_loop(0, n, body, (a[0], jnp.float32(0.0)))[1]
 
     sync(chain(args, 1))
@@ -86,6 +86,23 @@ def main():
           lambda im, M: embedder.apply(
               eparams, affine_warp_batch_pallas(im, M, (112, 112))),
           imgs, Ms)
+
+    # Probe the interaction: a barrier between warp and embed blocks
+    # cross-op fusion/layout propagation; the "indep" variant runs both
+    # in one program WITHOUT a data dependency (co-residency only).
+    def warp_barrier_embed(im, M):
+        chips_ = affine_warp_batch_pallas(im, M, (112, 112))
+        chips_ = jax.lax.optimization_barrier(chips_)
+        return embedder.apply(eparams, chips_)
+
+    timed("warp_BAR_embed", warp_barrier_embed, imgs, Ms)
+
+    def warp_and_indep_embed(im, M):
+        w = affine_warp_batch_pallas(im, M, (112, 112))
+        e = embedder.apply(eparams, chips)  # independent input
+        return jnp.mean(w.astype(jnp.float32)) + jnp.mean(e)
+
+    timed("warp_INDEP_embed", warp_and_indep_embed, imgs, Ms)
 
 
 if __name__ == "__main__":

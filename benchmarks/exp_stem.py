@@ -67,6 +67,10 @@ def main():
     bb_flops = BATCH * 7.7e9  # ~3.85 GMACs for ResNet50 @224
     timed("backbone_s2d", lambda im: bb.apply(bp, im), x, bb_flops)
 
+    # Clean A/B in the same harness: identical params, plain-stem apply.
+    plain_bb = VGGFaceResNet50(s2d_stem=False)
+    timed("backbone_plain", lambda im: plain_bb.apply(bp, im), x, bb_flops)
+
 
 if __name__ == "__main__":
     main()
