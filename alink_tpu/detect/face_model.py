@@ -94,6 +94,12 @@ class FaceModel:
         found = jnp.any(det.valid, axis=1)
         lmk = jax.vmap(lambda l, b: l[b])(det.landmarks, best)
         chips = align_faces(images, lmk[:, None], self.cfg.output_size)
+        # Fence the align→embed seam: letting XLA fuse the warp output's
+        # slice/reshape/cast into the embedder's stem measured +0.5 ms/64
+        # (benchmarks/exp_boundary.py: warp_embed 8.54 vs warp_BAR_embed
+        # 8.05; the relayout itself is free, 0.007 ms standalone) — the
+        # barrier makes it a clean standalone op again.  Semantics-neutral.
+        chips = jax.lax.optimization_barrier(chips)
         # where(), not multiply: a no-detection image aligns a garbage
         # padding landmark row, and a degenerate row can warp to NaN —
         # 0 * NaN would poison the zeroed chip the contract promises.

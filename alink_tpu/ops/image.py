@@ -229,7 +229,8 @@ def affine_warp_batch(
 
 def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
                  out_w: int, rows_per_tile: int, band: int, wcn: int,
-                 c: int, cpad: int, h: int, w: int, border: str):
+                 c: int, cpad: int, h: int, h_pad: int, w: int,
+                 border: str):
     """Pallas body: warp one (rows_per_tile, out_w) output tile of image i.
 
     The image block (1, h, wcn) holds the source in its NATIVE lane
@@ -285,38 +286,66 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
     bx = scal_ref[i, 4]
     by = scal_ref[i, 5]
 
-    p = t * tp + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    # TRANSPOSED orientation (round 3): output pixels live in LANES and
+    # channels in SUBLANES, so the out block is (cpad, tp) and the out
+    # array (n, cpad, n_tiles·tp) — physical layout == logical bytes.
+    # The previous (tp, cpad) orientation put cpad=8 in the minor dim,
+    # which HBM tiling T(8, 128) pads to 128 lanes: the output store
+    # alone measured 1.11 ms/64 vs 0.034 ms for the same logical bytes
+    # lane-packed (benchmarks/exp_pack_probe.py) — ~half the kernel's
+    # total runtime was writing padding.
+    p = t * tp + jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
     y = (p // out_w).astype(jnp.float32)
     x = (p % out_w).astype(jnp.float32)
-    X = a00 * (x - bx) + a01 * (y - by)  # (tp, 1) source coords
+    X = a00 * (x - bx) + a01 * (y - by)  # (1, tp) source coords
     Y = a10 * (x - bx) + a11 * (y - by)
     if border == "nearest":
         X = jnp.clip(X, 0.0, w - 1.0)
         Y = jnp.clip(Y, 0.0, h - 1.0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)      # hoisted
-    chan = jax.lax.broadcasted_iota(jnp.int32, (128, cpad), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)       # hoisted
+    lmap = jax.lax.broadcasted_iota(jnp.int32, (cpad, 128), 1)
+    cmap = jax.lax.broadcasted_iota(jnp.int32, (cpad, 128), 0)
 
-    def wfold_store(rows):
-        acc = None
+    def accum_chunk(acc, y0):
+        """Add one K=``band`` H-contraction chunk at row offset ``y0``.
+
+        Per 128-lane slice s of the source:  rowsT = img_sᵀ @ wyᵀ is the
+        transposed H-dot ((128, band) @ (band, tp) — the (band, 128)
+        slice transpose is a VMEM-local shuffle Mosaic lowers exactly);
+        per-pixel column weights multiply in, and the per-slice 0/1 fold
+        contracts source lanes → cpad output channels with the OUTPUT
+        pixel staying in lanes: acc += fold_sᵀ (cpad, 128) @ z (128, tp).
+        Same FLOPs as the untransposed form; zero-pad rows of the image
+        block contribute exactly 0 (taps at rows ≥ h only ever carry
+        weight when the zero-border semantics want 0 anyway)."""
+        row = (y0 + jax.lax.broadcasted_iota(jnp.int32, (band, tp), 0)
+               ).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row)
+                         ).astype(jnp.bfloat16)                  # (band, tp)
         for s in range(wcn // 128):
-            gl = lane + s * 128
+            img_s = img_ref[0, pl.ds(y0, band), s * 128:(s + 1) * 128]
+            rowsT = jnp.dot(img_s.astype(jnp.bfloat16).T, wy,
+                            preferred_element_type=jnp.float32)  # (128, tp)
+            gl = sub + s * 128                                   # (128, 1)
             xmap = (gl // c).astype(jnp.float32)
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - xmap))        # (tp, 128)
-            z = (rows[:, s * 128:(s + 1) * 128] * wx).astype(jnp.bfloat16)
-            fold_s = ((gl % c).reshape(128, 1) == chan
-                      ).astype(jnp.bfloat16)                      # (128, cpad)
-            part = jnp.dot(z, fold_s, preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-        out_ref[0] = acc                                          # (tp, cpad)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - xmap))       # (128, tp)
+            z = (rowsT * wx).astype(jnp.bfloat16)
+            fold_s = ((lmap + s * 128) % c == cmap
+                      ).astype(jnp.bfloat16)                     # (cpad, 128)
+            acc = acc + jnp.dot(fold_s, z,
+                                preferred_element_type=jnp.float32)
+        return acc                                               # (cpad, tp)
+
+    zero = jnp.zeros((cpad, tp), jnp.float32)
 
     def full_tile():
-        row = jax.lax.broadcasted_iota(jnp.int32, (tp, h), 1
-                                       ).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))             # (tp, h)
-        wfold_store(jnp.dot(wy.astype(jnp.bfloat16),
-                            img_ref[0].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32))
+        # Exact fallback: contract every ``band`` chunk of the padded
+        # height (disjoint offsets, so taps are counted once).
+        acc = zero
+        for k in range(h_pad // band):
+            acc = accum_chunk(acc, k * band)
+        out_ref[0] = acc
 
     if band < h:
         # ylo_ref[i, t] = 8-aligned band offset, or -1 for a tile whose
@@ -330,14 +359,7 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
         y_lo_raw = ylo_ref[i, t]
         # _band_offsets aligns down to 8; Mosaic needs the proof.
         y_lo = pl.multiple_of(jnp.maximum(y_lo_raw, 0), 8)
-        row = (y_lo
-               + jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1)
-               ).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row))             # (tp, band)
-        wfold_store(jnp.dot(wy.astype(jnp.bfloat16),
-                            img_ref[0, pl.ds(y_lo, band)].astype(
-                                jnp.bfloat16),
-                            preferred_element_type=jnp.float32))
+        out_ref[0] = accum_chunk(zero, y_lo)
         pl.when(y_lo_raw < 0)(full_tile)
     else:
         full_tile()
@@ -347,28 +369,36 @@ def _banded_warp_call(imgsn, scal, ylo, out_size, band, rows_per_tile,
                       h, w, c, cpad, border, interpret):
     """One pallas_call of the warp kernel (banded iff ``band < h``).
 
-    ``imgsn``: (n, h, wcn) f32, lane l = x*c + ch, zero-padded to a
-    128-multiple of lanes.  ``ylo``: (n, n_tiles) int32 8-aligned band
+    ``imgsn``: (n, h_pad, wcn) f32, lane l = x*c + ch, zero-padded to a
+    128-multiple of lanes AND to ``h_pad`` = band-multiple rows (the
+    zero rows contribute exactly 0 to the contraction — see
+    ``_warp_kernel``).  ``ylo``: (n, n_tiles) int32 8-aligned band
     offsets with 0 <= ylo <= h - band (ignored when band == h).
+
+    Output is TRANSPOSED: (n, cpad, n_tiles·tp) — output pixels in the
+    128-lane dim, channels in sublanes — so the HBM store is lane-packed
+    instead of T(8, 128)-padding an 8-lane minor dim 16x
+    (benchmarks/exp_pack_probe.py: 1.11 vs 0.034 ms/64 for identical
+    logical bytes).
     """
-    n, _, wcn = imgsn.shape
+    n, h_pad, wcn = imgsn.shape
     out_h, out_w = out_size
     n_tiles = -(-out_h // rows_per_tile)
     tp = rows_per_tile * out_w
 
     out = pl.pallas_call(
         partial(_warp_kernel, out_w=out_w, rows_per_tile=rows_per_tile,
-                band=band, wcn=wcn, c=c, cpad=cpad, h=h, w=w,
-                border=border),
+                band=band, wcn=wcn, c=c, cpad=cpad, h=h, h_pad=h_pad,
+                w=w, border=border),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # per-image Ainv/b + per-tile band rows
             grid=(n, n_tiles),
-            in_specs=[pl.BlockSpec((1, h, wcn),
+            in_specs=[pl.BlockSpec((1, h_pad, wcn),
                                    lambda i, t, scal, ylo: (i, 0, 0))],
-            out_specs=pl.BlockSpec((1, tp, cpad),
-                                   lambda i, t, scal, ylo: (i, t, 0)),
+            out_specs=pl.BlockSpec((1, cpad, tp),
+                                   lambda i, t, scal, ylo: (i, 0, t)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tp, cpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, cpad, n_tiles * tp), jnp.float32),
         interpret=interpret,
     )(scal, ylo, imgsn)
     return out
@@ -443,6 +473,7 @@ def affine_warp_batch_pallas(
     wcn = -(-(w * c) // 128) * 128
     banded = h > band
     band_eff = band if banded else h
+    h_blk = -(-h // band_eff) * band_eff  # kernel block rows (band-padded)
 
     # VMEM plan: the double-buffered f32 image block plus the per-tile
     # intermediates (wy bf16: 2*band B/px, rows f32: 4*wcn B/px, wx/z
@@ -450,7 +481,7 @@ def affine_warp_batch_pallas(
     # sources shrink the row tile; sources whose block alone blows the
     # budget fall back to the XLA einsum path (same numerics contract)
     # rather than fail to compile.
-    img_bytes = 2 * h * wcn * 4
+    img_bytes = 2 * h_blk * wcn * 4
     per_px = 2 * band_eff + 4 * wcn + 1056
     if c > 8 or img_bytes + out_w * per_px > 13 << 20:
         return affine_warp_batch(imgs, Ms, out_size, border=border)
@@ -472,8 +503,9 @@ def affine_warp_batch_pallas(
     scal = jnp.concatenate([Ainv.reshape(n, 4), bvec], axis=1)
 
     imgsn = imgs.astype(jnp.float32).reshape(n, h, w * c)
-    if wcn > w * c:
-        imgsn = jnp.pad(imgsn, ((0, 0), (0, 0), (0, wcn - w * c)))
+    if wcn > w * c or h_blk > h:
+        imgsn = jnp.pad(imgsn, ((0, 0), (0, h_blk - h),
+                                (0, wcn - w * c)))
 
     if banded:
         ylo = _band_offsets(Ainv, bvec, out_size, rows_per_tile,
@@ -486,9 +518,12 @@ def affine_warp_batch_pallas(
                             band=band, rows_per_tile=rows_per_tile,
                             h=h, w=w, c=c, cpad=cpad, border=border,
                             interpret=interpret)
-    return _cast_like(
-        out[:, : out_h * out_w, :c].reshape(n, out_h, out_w, c),
-        imgs.dtype)
+    # (n, cpad, P) lane-packed -> NHWC: the slice+transpose reads/writes
+    # only the logical bytes (XLA relayout, measured ~0.007 ms/64
+    # standalone) — vs ~1.1 ms/64 the kernel paid to store a (P, 8)
+    # minor dim padded to 128 lanes.
+    chips = jnp.swapaxes(out[:, :c, : out_h * out_w], 1, 2)
+    return _cast_like(chips.reshape(n, out_h, out_w, c), imgs.dtype)
 
 
 def affine_warp(
