@@ -44,6 +44,8 @@ from alink_tpu.data.pairs import all_pairs_index
 from alink_tpu.ops.augment import augment_pairs
 from alink_tpu.ops.image import resize
 from alink_tpu.ops.pairwise import pair_scores
+from alink_tpu.utils.debug import check_finite
+from alink_tpu.utils.dispatch import resolve_device_batch
 from alink_tpu.utils.profiling import Timings
 
 
@@ -159,8 +161,10 @@ class ALinkLoop:
         # all-pairs batch size (reference predict bs, siamese.py:131).
         # None -> config.device_batch (see its tradeoff note in config.py);
         # getattr so externally defined config dataclasses keep working.
-        self.device_batch = (device_batch if device_batch is not None
-                             else getattr(config, "device_batch", 1024))
+        # "auto" resolves here, once, via the dispatch-latency probe.
+        self.device_batch = resolve_device_batch(
+            device_batch if device_batch is not None
+            else getattr(config, "device_batch", 1024))
         self.config = config
         self.featurize = featurize
         self.student_featurize = (
@@ -180,6 +184,9 @@ class ALinkLoop:
         self.adversarial_predict = adversarial_predict
         self.adversarial_kwargs = adversarial_kwargs
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
+        # Opt-in NaN/Inf sanitizer on the selection/finetune phases
+        # (utils/debug.py; config.debug_nans).
+        self._nan_guard = bool(getattr(config, "debug_nans", False))
         self.state = ALinkState(m2_state=m2_state)
         self._chunk_jit = None  # built lazily; see _process_chunk
         self._replay_consumed = 0  # batches served by replay_gen (resume)
@@ -356,6 +363,11 @@ class ALinkLoop:
             rpad_parts.append(right_idx[idx])
         m1_genuine = jnp.concatenate(m1_chunks)
         student_probs = jnp.concatenate(probs_chunks, axis=1)  # (K, n_pad)
+        if self._nan_guard:
+            # Catch a diverged committee/student or a degenerate noise
+            # channel HERE, before its probabilities drive selection.
+            check_finite((m1_genuine, student_probs),
+                         "selection probabilities", force=True)
         k_noise = student_probs.shape[0]
         n_pad = int(m1_genuine.shape[0])
         valid_np = np.zeros(n_pad, np.bool_)
@@ -568,6 +580,11 @@ class ALinkLoop:
             batch_size=16,  # ALINK.py:251 hard-codes bs 16 for finetune
             key=self._next_key(),
         )
+        if self._nan_guard:
+            # A diverged finetune silently poisons every later round —
+            # fail at the step that produced it.
+            check_finite(self.state.m2_state.params,
+                         "finetuned M2 params", force=True)
         self.state.flush_buffer()
 
     # -- checkpoint / resume (greenfield; SURVEY.md section 5.4) ----------

@@ -98,8 +98,11 @@ class ALinkConfig:
     # conservative default.  Tune per deployment; bench_selection.py
     # measures both modes.  The actual chunk width buckets to the next
     # power of two <= device_batch, so small slabs neither retrace the
-    # fused chunk program nor pad all the way up.
-    device_batch: int = 1024
+    # fused chunk program nor pad all the way up.  ``"auto"`` resolves
+    # the knob at loop construction with a one-time dispatch-latency
+    # probe (utils/dispatch.py): small chunks on low-latency hosts,
+    # large through a remote tunnel.
+    device_batch: int | str = 1024
     # Host ingest: decode large JPEGs at the biggest 1/2^k DCT scale
     # that still covers image_res (native loader only; ~1.8x per core
     # on camera-sized photos, BENCHMARKS.md "Host ingest").  Off by
@@ -110,8 +113,20 @@ class ALinkConfig:
     # bodies: ~5x faster cold-start compile, identical numerics
     # (docs/TUNING.md "Compilation").
     featurize_scan_units: bool = False
+    # Debug-mode numeric sanitizer (utils/debug.py; SURVEY.md section
+    # 5.2): check the selection outputs and finetuned student params for
+    # NaN/Inf after each guarded phase and raise FloatingPointError at
+    # the first offender.  Costs one device round trip per phase — a
+    # debug mode, not an always-on assert.
+    debug_nans: bool = False
 
     def __post_init__(self):
+        if isinstance(self.device_batch, str):
+            if self.device_batch != "auto":
+                raise ValueError(
+                    "device_batch must be a positive int or 'auto'")
+        elif self.device_batch <= 0:
+            raise ValueError("device_batch must be positive")
         if not (0.0 <= self.split_ratio <= 1.0):  # ALINK.py:74
             raise ValueError("split_ratio must be in [0, 1]")
         if not (0.0 <= self.disparity_ratio <= 1.0):  # ALINK.py:75
@@ -206,14 +221,21 @@ class MTPConfig:
     seed: int = 42
     mesh_shape: tuple[int, ...] = (-1,)
     dtype: str = "bfloat16"
-    device_batch: int = 1024  # see ALinkConfig.device_batch tradeoff note
+    device_batch: int | str = 1024  # see ALinkConfig.device_batch note
     ingest_dct_scale: bool = False  # see ALinkConfig.ingest_dct_scale
     featurize_scan_units: bool = False  # see ALinkConfig.featurize_scan_units
     loop_checkpoint: str = ""  # see ALinkConfig.loop_checkpoint
     checkpoint_every: int = 1
     train_steps: int = 320000  # see ALinkConfig.train_steps
+    debug_nans: bool = False  # see ALinkConfig.debug_nans
 
     def __post_init__(self):
+        if isinstance(self.device_batch, str):
+            if self.device_batch != "auto":
+                raise ValueError(
+                    "device_batch must be a positive int or 'auto'")
+        elif self.device_batch <= 0:
+            raise ValueError("device_batch must be positive")
         if self.low_res > self.normal_res[0]:  # ALINK_MTP.py:32
             raise ValueError("low_res must be <= normal_res")
         if not (0.0 <= self.split_ratio <= 1.0):

@@ -146,6 +146,13 @@ def read_mxnet_ndarray_file(path: str) -> dict:
         off += n * dt.itemsize
         arrays.append(arr.astype(np.float32))
     n_names = u64()
+    if n_names != count:
+        # mx.nd.save of a bare list stores zero names; zip() would then
+        # silently drop every array.  All checkpoint consumers here need
+        # the dict form (face_model.py:34 loads arg/aux dicts) — raise.
+        raise ValueError(
+            f"{path}: {count} arrays but {n_names} names "
+            f"(unnamed list-form checkpoint?)")
     names = []
     for _ in range(n_names):
         ln = u64()

@@ -424,3 +424,161 @@ def test_arcface_binary_checkpoint_end_to_end(tmp_path):
     assert emb.shape == (2, 512)
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(emb, axis=-1)), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Cross-decoder validation (VERDICT r03 item 3): the primary binary reader
+# vs an independently-derived strict decoder (tools/mxnet_ndarray_check.py),
+# property-tested on randomized checkpoints and fuzzed on malformed input.
+# ---------------------------------------------------------------------------
+
+from alink_tpu.tools import mxnet_ndarray_check as mnc  # noqa: E402
+
+
+def _random_checkpoint(rng, n_arrays, version=2):
+    """Randomized array dict: mixed ranks 0..4, mixed dtypes."""
+    dtypes = [np.float32, np.float16, np.float64, np.uint8, np.int32,
+              np.int8, np.int64]
+    arrays = {}
+    for i in range(n_arrays):
+        nd = int(rng.integers(0, 5))
+        shape = tuple(int(rng.integers(1, 6)) for _ in range(nd))
+        dt = dtypes[int(rng.integers(0, len(dtypes)))]
+        if np.issubdtype(dt, np.floating):
+            a = rng.normal(size=shape).astype(dt)
+        else:
+            a = rng.integers(0, 100, size=shape).astype(dt)
+        arrays[f"arr_{i}_{'x'.join(map(str, shape))}"] = a
+    return arrays
+
+
+def _write_mxnet_file_typed(arrays: dict, version: int = 2) -> bytes:
+    """Fixture writer variant that preserves dtypes (type_flag per
+    array) — exercises every dtype code both decoders claim to handle."""
+    tf = {np.dtype(np.float32): 0, np.dtype(np.float64): 1,
+          np.dtype(np.float16): 2, np.dtype(np.uint8): 3,
+          np.dtype(np.int32): 4, np.dtype(np.int8): 5,
+          np.dtype(np.int64): 6}
+    out = io.BytesIO()
+    out.write(struct.pack("<QQQ", 0x112, 0, len(arrays)))
+    for v in arrays.values():
+        v = np.asarray(v)
+        if version >= 2:
+            magic = 0xF993FACA if version == 3 else 0xF993FAC9
+            out.write(struct.pack("<Ii", magic, 0))
+            out.write(struct.pack("<I", v.ndim))
+            out.write(struct.pack(f"<{v.ndim}q", *v.shape))
+        elif version == 1:
+            out.write(struct.pack("<I", 0xF993FAC8))
+            out.write(struct.pack("<I", v.ndim))
+            out.write(struct.pack(f"<{v.ndim}q", *v.shape))
+        else:
+            out.write(struct.pack("<I", v.ndim))
+            out.write(struct.pack(f"<{v.ndim}I", *v.shape))
+        out.write(struct.pack("<iii", 1, 0, tf[v.dtype]))
+        out.write(v.tobytes())
+    out.write(struct.pack("<Q", len(arrays)))
+    for k in arrays:
+        kb = k.encode()
+        out.write(struct.pack("<Q", len(kb)))
+        out.write(kb)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("version", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cross_decoder_agreement_randomized(tmp_path, version, seed):
+    """Both decoders must produce identical names/shapes/values on
+    randomized checkpoints in every format version."""
+    rng = np.random.default_rng(seed * 17 + version)
+    arrays = _random_checkpoint(rng, int(rng.integers(1, 8)))
+    if version < 2:
+        # legacy/V1 fixtures are f32-only (type_flag constant).
+        arrays = {k: np.asarray(v, np.float32) for k, v in arrays.items()}
+    data = _write_mxnet_file_typed(arrays, version=version)
+    p = tmp_path / "ck.params"
+    p.write_bytes(data)
+
+    primary = cm.read_mxnet_ndarray_file(str(p))
+    second = mnc.read_params_file(str(p))
+    assert set(primary) == set(second) == set(arrays)
+    for k in arrays:
+        assert second[k].dtype == arrays[k].dtype  # dtype preserved
+        np.testing.assert_array_equal(second[k], arrays[k])
+        np.testing.assert_array_equal(
+            primary[k], np.asarray(arrays[k], np.float32))
+
+
+def test_cross_check_entry_point(tmp_path):
+    arrays = {"w": np.arange(12, dtype=np.float32).reshape(3, 4)}
+    p = tmp_path / "ok.params"
+    p.write_bytes(_write_mxnet_file_typed(arrays))
+    got = mnc.cross_check(str(p))
+    np.testing.assert_array_equal(got["w"], arrays["w"])
+
+
+@pytest.mark.parametrize("mutate", [
+    "bad_list_magic", "truncate_header", "truncate_payload",
+    "truncate_names", "sparse", "bad_dtype", "huge_ndim",
+    "unnamed_list", "trailing_garbage",
+])
+def test_cross_decoder_fuzz_malformed(tmp_path, mutate):
+    """Malformed input must raise cleanly from BOTH decoders — never
+    return silently wrong data.  (The primary decoder may raise
+    struct/Value errors; the strict decoder always ValueError.)"""
+    arrays = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "b": np.ones(3, np.float32)}
+    data = bytearray(_write_mxnet_file_typed(arrays))
+    if mutate == "bad_list_magic":
+        data[0:8] = struct.pack("<Q", 0xDEAD)
+    elif mutate == "truncate_header":
+        data = data[:12]
+    elif mutate == "truncate_payload":
+        data = data[:40]
+    elif mutate == "truncate_names":
+        data = data[:-4]
+    elif mutate == "sparse":
+        data[28:32] = struct.pack("<i", 1)  # first blob's stype
+    elif mutate == "bad_dtype":
+        # first blob: magic(4)+stype(4)+ndim(4)+2*8 dims+dev(8) -> tf at 24+
+        off = 24 + 4 + 4 + 4 + 16 + 8
+        data[off:off + 4] = struct.pack("<i", 99)
+    elif mutate == "huge_ndim":
+        data[32:36] = struct.pack("<I", 0xFFFF)
+    elif mutate == "unnamed_list":
+        # name-table count -> 0 (names follow the two payload blobs).
+        name_block = struct.pack("<Q", 2)
+        idx = bytes(data).rindex(name_block + struct.pack("<Q", 1) + b"w")
+        data = data[:idx] + struct.pack("<Q", 0)
+    elif mutate == "trailing_garbage":
+        data = bytes(data) + b"\x00" * 8
+    p = tmp_path / "bad.params"
+    p.write_bytes(bytes(data))
+
+    with pytest.raises(Exception):
+        mnc.read_params_file(str(p))
+    if mutate != "trailing_garbage":
+        # The primary reader tolerates trailing bytes (it reads by
+        # offset); everything else must fail there too.
+        with pytest.raises(Exception):
+            cm.read_mxnet_ndarray_file(str(p))
+
+
+def test_primary_rejects_unnamed_list(tmp_path):
+    """The latent zip() bug: an unnamed list-form save must raise, not
+    silently return an empty dict."""
+    out = io.BytesIO()
+    v = np.ones((2, 2), np.float32)
+    out.write(struct.pack("<QQQ", 0x112, 0, 1))
+    out.write(struct.pack("<Ii", 0xF993FAC9, 0))
+    out.write(struct.pack("<I", 2))
+    out.write(struct.pack("<2q", 2, 2))
+    out.write(struct.pack("<iii", 1, 0, 0))
+    out.write(v.tobytes())
+    out.write(struct.pack("<Q", 0))  # zero names
+    p = tmp_path / "list.params"
+    p.write_bytes(out.getvalue())
+    with pytest.raises(ValueError, match="unnamed"):
+        cm.read_mxnet_ndarray_file(str(p))
+    with pytest.raises(ValueError, match="unnamed"):
+        mnc.read_params_file(str(p))

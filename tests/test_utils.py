@@ -149,3 +149,92 @@ class TestLstLine:
         assert chw.shape == (3, 4, 6)
         gray = face_image.read_image(p, mode="gray")
         assert gray.shape == (4, 6)
+
+
+class TestNanGuard:
+    """utils/debug.py — the opt-in numeric sanitizer (SURVEY.md §5.2)."""
+
+    def test_disabled_is_noop(self):
+        import jax.numpy as jnp
+
+        from alink_tpu.utils import debug
+
+        debug.enable_nan_guard(False)
+        debug.check_finite(jnp.array([jnp.nan]), "phase")  # no raise
+
+    def test_force_raises_on_nan_and_names_phase(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from alink_tpu.utils import debug
+
+        with _pytest.raises(FloatingPointError, match="selection"):
+            debug.check_finite(
+                {"a": jnp.ones(3), "b": jnp.array([1.0, jnp.inf])},
+                "selection", force=True)
+
+    def test_enabled_global_switch(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from alink_tpu.utils import debug
+
+        debug.enable_nan_guard(True)
+        try:
+            with _pytest.raises(FloatingPointError):
+                debug.check_finite(jnp.array([jnp.nan]), "x")
+            debug.check_finite(jnp.ones(4), "x")  # finite -> no raise
+        finally:
+            debug.enable_nan_guard(False)
+
+    def test_integer_leaves_ignored(self):
+        import jax.numpy as jnp
+
+        from alink_tpu.utils import debug
+
+        debug.check_finite(jnp.arange(4), "ints", force=True)  # no raise
+
+
+class TestDispatchProbe:
+    """utils/dispatch.py — device_batch='auto' resolution."""
+
+    def test_int_passthrough(self):
+        from alink_tpu.utils.dispatch import resolve_device_batch
+
+        assert resolve_device_batch(512) == 512
+
+    def test_rejects_bad_values(self):
+        import pytest as _pytest
+
+        from alink_tpu.utils.dispatch import resolve_device_batch
+
+        with _pytest.raises(ValueError):
+            resolve_device_batch(0)
+        with _pytest.raises(ValueError):
+            resolve_device_batch("fastest")
+
+    def test_auto_picks_by_latency(self):
+        from alink_tpu.utils import dispatch
+
+        assert dispatch.resolve_device_batch(
+            "auto", probe=lambda: 1e-4) == dispatch.SMALL_CHUNK
+        assert dispatch.resolve_device_batch(
+            "auto", probe=lambda: 0.035) == dispatch.LARGE_CHUNK
+
+    def test_real_probe_returns_sane_latency(self):
+        from alink_tpu.utils.dispatch import measure_dispatch_latency
+
+        lat = measure_dispatch_latency(iters=3)
+        assert 0.0 < lat < 5.0
+
+    def test_config_accepts_auto(self):
+        import pytest as _pytest
+
+        from alink_tpu.config import ALinkConfig
+
+        assert ALinkConfig(device_batch="auto").device_batch == "auto"
+        assert ALinkConfig(device_batch=256).device_batch == 256
+        with _pytest.raises(ValueError):
+            ALinkConfig(device_batch="turbo")
+        with _pytest.raises(ValueError):
+            ALinkConfig(device_batch=-1)
