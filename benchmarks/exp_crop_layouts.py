@@ -35,20 +35,28 @@ def sync(x):
     return float(jnp.ravel(x.astype(jnp.float32))[0])
 
 
-def timed(name, fn, *args, iters=30):
+def timed(name, fn, carrier, iters=30):
+    """Chained harness with a loop-VARIANT body: ``carrier`` (an input
+    array of ``fn``) rides the fori_loop carry and is perturbed by a
+    data-dependent zero each step, so XLA cannot hoist the measured
+    computation out of the loop (ADVICE r03: the previous loop-invariant
+    body was hoistable; out*0.0 preserved a data dependency but not
+    loop-variance)."""
     @jax.jit
-    def chain(n, *a):
-        def body(i, acc):
-            out = jnp.sum(jax.tree.leaves(fn(*a))[0].astype(jnp.float32))
-            return acc + out * 0.0 + 1.0
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    def chain(n, car):
+        def body(i, carry):
+            acc, car = carry
+            out = jnp.sum(jax.tree.leaves(fn(car))[0].astype(jnp.float32))
+            return (acc + out * 0.0 + 1.0,
+                    car + (out * 0.0).astype(car.dtype))
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), carrier))[0]
 
-    sync(chain(1, *args))
+    sync(chain(1, carrier))
     t0 = time.perf_counter()
-    sync(chain(0, *args))
+    sync(chain(0, carrier))
     ov = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sync(chain(iters, *args))
+    sync(chain(iters, carrier))
     dt = max(time.perf_counter() - t0 - ov, 1e-9) / iters
     print(json.dumps({"part": name,
                       "ms_per_64": round(dt * 1e3 * 64 / BATCH, 3)}),
@@ -80,7 +88,12 @@ def crop_v1_current(img, boxes, out_size, dt):
 def crop_v2_flat_y_first(img, boxes, out_size, dt):
     """y-contraction as ONE un-batched 2-D matmul on the free (H, W*C)
     image view; x-contraction as a k-batched dot with the WIDE free dim
-    (o*c) on the rhs; final transpose only touches logical bytes."""
+    (o*c) on the rhs; final transpose only touches logical bytes.
+
+    NOTE (all variants): the bare ``.astype(img.dtype)`` is fine for
+    this float-only probe, but a variant promoted into the shipped
+    ``crop_and_resize`` must restore ``_cast_like``'s round-and-saturate
+    for integer image dtypes (ADVICE r03 item 2)."""
     oh, ow = out_size
     h, w, c = img.shape
     wy, wx = _grids(boxes, oh, ow, h, w)
@@ -176,8 +189,10 @@ def main():
 
     for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         for name, fn in variants.items():
-            timed(f"crop24 {name} {dt_name}", lambda fn=fn, dt=dt: jax.vmap(
-                lambda i, b: fn(i, b, (OUT, OUT), dt))(img, boxes))
+            timed(f"crop24 {name} {dt_name}",
+                  lambda im, fn=fn, dt=dt: jax.vmap(
+                      lambda i, b: fn(i, b, (OUT, OUT), dt))(im, boxes),
+                  img)
 
     # In-context proxy: crop -> preprocess -> R-Net tower (the layout XLA
     # picks for the crop output depends on this consumer).
@@ -188,18 +203,18 @@ def main():
             crops = fn(i, b, (OUT, OUT), dt)
             prob, reg = _RNET.apply(params, preprocess.mtcnn(crops))
             return prob
-        return jax.vmap(run)(img, boxes)
+        return lambda im: jax.vmap(run)(im, boxes)
 
     for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         for name, fn in variants.items():
-            timed(f"crop24+rnet {name} {dt_name}",
-                  lambda fn=fn, dt=dt: chainfn(fn, dt))
+            timed(f"crop24+rnet {name} {dt_name}", chainfn(fn, dt), img)
 
     # Stage-3 shape: K=8, 48x48.
     boxes3 = boxes[:, :8]
     for name, fn in variants.items():
-        timed(f"crop48 {name} bf16", lambda fn=fn: jax.vmap(
-            lambda i, b: fn(i, b, (48, 48), jnp.bfloat16))(img, boxes3))
+        timed(f"crop48 {name} bf16", lambda im, fn=fn: jax.vmap(
+            lambda i, b: fn(i, b, (48, 48), jnp.bfloat16))(im, boxes3),
+              img)
 
 
 if __name__ == "__main__":

@@ -25,20 +25,28 @@ def sync(x):
     return float(jnp.ravel(x.astype(jnp.float32))[0])
 
 
-def timed(name, fn, *args, iters=30):
+def timed(name, fn, carrier, iters=30):
+    """Chained harness with a loop-VARIANT body: ``carrier`` (an input
+    array of ``fn``) rides the fori_loop carry and is perturbed by a
+    data-dependent zero each step, so XLA cannot hoist the measured
+    computation out of the loop (ADVICE r03: the previous loop-invariant
+    body was hoistable; out*0.0 preserved a data dependency but not
+    loop-variance)."""
     @jax.jit
-    def chain(n, *a):
-        def body(i, acc):
-            out = jnp.sum(jax.tree.leaves(fn(*a))[0].astype(jnp.float32))
-            return acc + out * 0.0 + 1.0
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    def chain(n, car):
+        def body(i, carry):
+            acc, car = carry
+            out = jnp.sum(jax.tree.leaves(fn(car))[0].astype(jnp.float32))
+            return (acc + out * 0.0 + 1.0,
+                    car + (out * 0.0).astype(car.dtype))
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), carrier))[0]
 
-    sync(chain(1, *args))
+    sync(chain(1, carrier))
     t0 = time.perf_counter()
-    sync(chain(0, *args))
+    sync(chain(0, carrier))
     ov = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sync(chain(iters, *args))
+    sync(chain(iters, carrier))
     dt = max(time.perf_counter() - t0 - ov, 1e-9) / iters
     print(json.dumps({"part": name,
                       "ms_per_64": round(dt * 1e3 * 64 / BATCH, 3)}),
@@ -113,16 +121,20 @@ def main():
         return jax.vmap(lambda b, s, v: f(b, s, v, 0.7, *extra))(
             boxes, scores, valid)
 
-    timed("nms_while (current)", lambda: vm(nms))
-    timed("nms_argsort_gather", lambda: jax.vmap(
-        lambda b, s, v: b[jnp.argsort(jnp.where(v, s, -1e30))[::-1]]
-    )(boxes, scores, valid))
-    timed("nms_iou_only", lambda: jax.vmap(iou_matrix)(boxes))
+    def vms(f, *extra):
+        return lambda s: jax.vmap(lambda b, sc, v: f(b, sc, v, 0.7, *extra))(
+            boxes, s, valid)
+
+    timed("nms_while (current)", vms(nms), scores)
+    timed("nms_argsort_gather", lambda s: jax.vmap(
+        lambda b, sc, v: b[jnp.argsort(jnp.where(v, sc, -1e30))[::-1]]
+    )(boxes, s, valid), scores)
+    timed("nms_iou_only", lambda b: jax.vmap(iou_matrix)(b), boxes)
     for u in (4, 8, 16):
         timed(f"nms_unroll{u} (inexact probe)",
-              lambda u=u: vm(jacobi_unrolled, u))
+              vms(jacobi_unrolled, u), scores)
     for u in (4, 8):
-        timed(f"nms_hybrid{u}", lambda u=u: vm(hybrid, u))
+        timed(f"nms_hybrid{u}", vms(hybrid, u), scores)
 
     # Exactness + convergence statistics of the unrolled probe.
     ref = vm(nms)
@@ -138,14 +150,18 @@ def main():
     # --- stage-2 crops ------------------------------------------------
     img = jax.random.uniform(kb(3), (BATCH, 160, 160, 3),
                              jnp.float32, 0, 255)
-    cb = jnp.concatenate([xy1[:, :32], xy1[:, :32] + wh[:, :32]], -1)
+    # Integer boxes per the pipeline's convention (cascade rounds every
+    # stage's boxes; ADVICE r03 item 3 — keeps the weight matrices'
+    # sparsity pattern production-identical).
+    cb = jnp.round(
+        jnp.concatenate([xy1[:, :32], xy1[:, :32] + wh[:, :32]], -1))
 
     def crop(dt):
-        return jax.vmap(lambda i, b: crop_and_resize(
-            i, b, (24, 24), compute_dtype=dt))(img, cb)
+        return lambda im: jax.vmap(lambda i, b: crop_and_resize(
+            i, b, (24, 24), compute_dtype=dt))(im, cb)
 
-    timed("crop24_bf16 (current)", lambda: crop(jnp.bfloat16))
-    timed("crop24_f32", lambda: crop(jnp.float32))
+    timed("crop24_bf16 (current)", crop(jnp.bfloat16), img)
+    timed("crop24_f32", crop(jnp.float32), img)
 
     def crop_weights_only(i, b):
         x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
@@ -163,7 +179,7 @@ def main():
             jnp.sum(wx.astype(jnp.bfloat16).astype(jnp.float32))
 
     timed("crop24_weights_only",
-          lambda: jax.vmap(crop_weights_only)(img, cb))
+          lambda im: jax.vmap(crop_weights_only)(im, cb), img)
 
     def crop_first_einsum(i, b):
         x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
@@ -178,13 +194,15 @@ def main():
         return rows
 
     timed("crop24_first_einsum",
-          lambda: jax.vmap(crop_first_einsum)(img, cb))
+          lambda im: jax.vmap(crop_first_einsum)(im, cb), img)
 
     # 48^2 stage-3 shape (budget 8)
-    cb3 = jnp.concatenate([xy1[:, :8], xy1[:, :8] + wh[:, :8]], -1)
-    timed("crop48_bf16 (current)", lambda: jax.vmap(
+    cb3 = jnp.round(
+        jnp.concatenate([xy1[:, :8], xy1[:, :8] + wh[:, :8]], -1))
+    timed("crop48_bf16 (current)", lambda im: jax.vmap(
         lambda i, b: crop_and_resize(i, b, (48, 48),
-                                     compute_dtype=jnp.bfloat16))(img, cb3))
+                                     compute_dtype=jnp.bfloat16))(im, cb3),
+          img)
 
 
 if __name__ == "__main__":
