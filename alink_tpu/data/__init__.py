@@ -32,7 +32,8 @@ from alink_tpu.data.pairs import (  # noqa: F401
     mtp_all_pairs_minibatch,
     split_disguise_data,
 )
-from alink_tpu.data.synth import make_synthetic_dfw, make_synthetic_mtp  # noqa: F401
+from alink_tpu.data.synth import (make_synthetic_dfw,  # noqa: F401
+    make_synthetic_dfw_test, make_synthetic_mtp)
 from alink_tpu.data.prefetch import (  # noqa: F401
     DevicePrefetcher,
     prefetch_to_device,

@@ -1,0 +1,277 @@
+"""End-to-end accuracy regression through the REAL DFW evaluation chain.
+
+The reference's acceptance evidence is the paper table produced by four
+manually-chained utilities (``generatePredictions.py`` ->
+``generateMatrixDFW.py`` -> ``ROC_precompute.py`` -> ``getStats.py``;
+BASELINE.md).  Its released weights/data are not available in this
+environment, so the strongest achievable stand-in (VERDICT r03 item 2)
+is this tool: stage a synthetic DFW (training tree + full testing
+protocol with the positional code-1..4 mask), train the system, and push
+a held-out test set through the production tool chain — featurize via
+``tools.generate_predictions``, score the all-pairs matrix via
+``tools.generate_matrix.restore_head_and_score`` (including the orbax
+checkpoint round trip), sweep masked ROCs via ``tools.roc_precompute``'s
+engine, and reduce to AUC/EER/GAR via ``evaluation.roc_stats`` — at
+three stages of the pipeline:
+
+- ``pre``     — M2 after pretraining, before any active learning
+                (the paper's "M2 before" row, create_figure_3.m),
+- ``alink``   — after the A-LINK loop with the classical noise bank,
+- ``a2link``  — after the loop with the bank + the one-pixel DE
+                adversarial channel (A2-LINK).
+
+Output: a JSON artifact (``EVAL_r04.json`` at the repo root in CI) with
+the per-stage, per-ROC-case statistics and the improvement-ordering
+booleans the paper's figure-3/figure-4 claims rest on.  The slow-lane
+test (``tests/test_eval_regression.py``) runs the same flow at toy scale
+and asserts the ordering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from alink_tpu import train as T
+from alink_tpu.active.committee import Committee
+from alink_tpu.active.loop import ALinkLoop
+from alink_tpu.config import ALinkConfig
+from alink_tpu.data import make_synthetic_dfw, make_synthetic_dfw_test
+from alink_tpu.drivers import common
+from alink_tpu.evaluation import roc_stats, threshold_sweep
+from alink_tpu.evaluation.roc import masked_scores
+from alink_tpu.tools.generate_matrix import restore_head_and_score
+from alink_tpu.tools.generate_predictions import generate_predictions
+
+_CASES = {1: "impersonation", 2: "obfuscation", 3: "overall"}
+
+
+def evaluate_stage(
+    head_params,
+    feats: np.ndarray,
+    mask: np.ndarray,
+    workdir: str,
+    stage: str,
+    thresholds: np.ndarray,
+) -> dict:
+    """One stage through the matrix->ROC->stats chain, via the actual
+    tool entry points (incl. the orbax save/restore the real
+    ``generateMatrixDFW`` flow performs, generateMatrixDFW.py:21-27)."""
+    ckpt = os.path.join(workdir, f"head_{stage}")
+    T.save(ckpt, head_params)
+    scores = restore_head_and_score(ckpt, feats)
+    out = {}
+    for case, label in _CASES.items():
+        genuine, imposter = masked_scores(scores, mask, case)
+        tpr, fpr = threshold_sweep(genuine, imposter, thresholds)
+        s = roc_stats(np.asarray(tpr), np.asarray(fpr))
+        out[label] = {
+            "auc": round(float(s.auc), 6),
+            "eer": round(float(s.eer), 6),
+            "gar_at_1pct_far": round(float(s.gar_at_1pct_far), 6),
+            "gar_at_01pct_far": round(float(s.gar_at_01pct_far), 6),
+            "n_genuine": int(genuine.size),
+            "n_imposter": int(imposter.size),
+        }
+    return out
+
+
+def run_eval_regression(
+    out_json: str | None = None,
+    *,
+    num_people: int = 8,
+    test_people: int = 6,
+    image_size: int = 32,
+    featurize=None,
+    feature_res: int = 2048,
+    n_steps: int = 512,
+    m2_n_steps: int | None = None,
+    dig_epochs: int = 6,
+    undig_epochs: int = 8,
+    noise_bank=("gaussian", "saltpepper", "speckle"),
+    adversarial_kwargs=None,
+    loop_overrides: dict | None = None,
+    seed: int = 42,
+    verbose: bool = True,
+) -> dict:
+    """Stage, train, and evaluate the three pipeline stages; returns the
+    artifact dict (and writes it to ``out_json`` when given)."""
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 16))
+    root = tempfile.mkdtemp(prefix="alink_evalreg_")
+    make_synthetic_dfw(root, num_people=num_people, image_size=image_size,
+                       seed=seed)
+    # Disjoint identities for the held-out protocol (different seed
+    # stream -> different base patterns).
+    _, names, mask = make_synthetic_dfw_test(
+        root, num_people=test_people, image_size=image_size,
+        seed=seed + 1000)
+
+    overrides = dict(
+        alink_bs=2, batch_send=8, ft_epochs=2, mixture_ratio=1,
+        disparity_ratio=0.4, eps=0.05, batch_size=16,
+    )
+    overrides.update(loop_overrides or {})
+    cfg = ALinkConfig(
+        data_dir_prefix=root,
+        noise=tuple(noise_bank),
+        image_res=(image_size, image_size),
+        feature_res=feature_res,
+        dig_epochs=dig_epochs,
+        undig_epochs=undig_epochs,
+        seed=seed,
+        **overrides,
+    )
+
+    if featurize is None:
+        featurize, _ = common.make_resnet50_featurizer(next(keys))
+    else:
+        next(keys)
+
+    if verbose:
+        print(f"staged synthetic DFW at {root}: {num_people} train / "
+              f"{test_people} test people at {image_size}^2")
+
+    # --- training staging (the run_alink flow, stage-capturing) --------
+    data = common.load_dfw(cfg, featurize)
+    dig_pre, dig_post_raw = common.split_pools(cfg, data)
+    workdir = tempfile.mkdtemp(prefix="alink_evalreg_models_")
+
+    m2_gen = common.replay_generator(cfg.seed, dig_pre, data.imp_feats,
+                                     cfg.batch_size)
+    # ``m2_n_steps`` < ``n_steps`` keeps the pre-A-LINK student weak —
+    # the reference's "M2 before" is likewise trained only on the
+    # limited pre-split (ALINK.py:99-118; create_figure_3.m's 75.62 row).
+    m2_pre = common.train_or_load_head(
+        common.new_head_state(next(keys), cfg.feature_res, 0.1),
+        os.path.join(workdir, "m2_pre_ckpt"), m2_gen,
+        epochs=cfg.dig_epochs, batch_size=cfg.batch_size,
+        key=next(keys),
+        n_steps=m2_n_steps if m2_n_steps is not None else n_steps)
+
+    plain_gen = common.replay_generator(cfg.seed + 1, data.plain_feats,
+                                        data.imp_feats, cfg.batch_size)
+    committee, _head = common.train_or_load_committee(
+        next(keys), cfg.feature_res, cfg.noise,
+        cfg.num_ensemble_models, os.path.join(workdir, "ensemble"),
+        plain_gen, epochs=cfg.undig_epochs, batch_size=cfg.batch_size,
+        n_steps=n_steps)
+
+    # --- held-out featurization via the production tool ----------------
+    feats = generate_predictions(root, names, featurize,
+                                 image_res=cfg.image_res)
+    thresholds = np.linspace(0.0, 1.0, 10001)
+
+    stages = {}
+    stages["pre"] = evaluate_stage(m2_pre.params, feats, mask, workdir,
+                                   "pre", thresholds)
+    if verbose:
+        print("pre:", json.dumps(stages["pre"]["overall"]))
+
+    # --- the two loop arms ---------------------------------------------
+    def run_arm(arm: str, arm_seed: int, noise_names) -> dict:
+        from alink_tpu.drivers.alink import make_adversarial_predict
+
+        arm_cfg = dataclasses.replace(cfg, noise=tuple(noise_names))
+        arm_committee = Committee(committee.head, committee.params,
+                                  noise_names=tuple(noise_names))
+        kw = {}
+        if "adversarial" in noise_names:
+            kw["adversarial_predict"] = make_adversarial_predict(featurize)
+            kw["adversarial_kwargs"] = dict(
+                adversarial_kwargs
+                or dict(pixel_count=2, maxiter=3, popsize=8))
+        replay = common.replay_generator(cfg.seed + 2, data.plain_feats,
+                                         data.imp_feats, cfg.batch_size)
+        loop = ALinkLoop(
+            arm_cfg, pool_uint8=True, featurize=featurize,
+            committee=arm_committee, m2_state=m2_pre, replay_gen=replay,
+            key=jax.random.PRNGKey(arm_seed), **kw)
+        loop.run(data.plain_raw, dig_post_raw)
+        queried = sum(log.queried for log in loop.logs)
+        if verbose:
+            print(f"{arm}: active {loop.state.active_count}/"
+                  f"{loop.state.un_size}, queried {queried}")
+        st = evaluate_stage(loop.state.m2_state.params, feats, mask,
+                            workdir, arm, thresholds)
+        st["overall"]["oracle_queries"] = queried
+        return st
+
+    stages["alink"] = run_arm("alink", seed + 101, tuple(noise_bank))
+    if verbose:
+        print("alink:", json.dumps(stages["alink"]["overall"]))
+    stages["a2link"] = run_arm(
+        "a2link", seed + 202, tuple(noise_bank) + ("adversarial",))
+    if verbose:
+        print("a2link:", json.dumps(stages["a2link"]["overall"]))
+
+    ordering = {
+        "alink_auc_gt_pre": (stages["alink"]["overall"]["auc"]
+                             > stages["pre"]["overall"]["auc"]),
+        "a2link_auc_gt_pre": (stages["a2link"]["overall"]["auc"]
+                              > stages["pre"]["overall"]["auc"]),
+        "alink_gar1_ge_pre": (
+            stages["alink"]["overall"]["gar_at_1pct_far"]
+            >= stages["pre"]["overall"]["gar_at_1pct_far"]),
+        "a2link_gar1_ge_pre": (
+            stages["a2link"]["overall"]["gar_at_1pct_far"]
+            >= stages["pre"]["overall"]["gar_at_1pct_far"]),
+    }
+    artifact = {
+        "protocol": {
+            "train_people": num_people,
+            "test_people": test_people,
+            "test_faces": len(names),
+            "image_size": image_size,
+            "feature_res": feature_res,
+            "noise_bank": list(noise_bank),
+            "n_steps": n_steps,
+            "seed": seed,
+            "mask_pairs_scored": int(np.count_nonzero(
+                np.triu(mask, 1))),
+        },
+        "chain": ["generate_predictions", "generate_matrix",
+                  "roc_precompute", "get_stats"],
+        "stages": stages,
+        "ordering": ordering,
+        "reference": "utilities/create_figure_3.m + getStats.py:9-25 "
+                     "(synthetic stand-in; real DFW weights/data not "
+                     "available in this environment)",
+    }
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        if verbose:
+            print(f"wrote {out_json}")
+    return artifact
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--num_people", type=int, default=8)
+    ap.add_argument("--test_people", type=int, default=6)
+    ap.add_argument("--image_size", type=int, default=32)
+    ap.add_argument("--n_steps", type=int, default=512)
+    ap.add_argument("--m2_n_steps", type=int, default=None)
+    ap.add_argument("--dig_epochs", type=int, default=6)
+    ap.add_argument("--undig_epochs", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+    art = run_eval_regression(
+        args.out, num_people=args.num_people, test_people=args.test_people,
+        image_size=args.image_size, n_steps=args.n_steps,
+        m2_n_steps=args.m2_n_steps, dig_epochs=args.dig_epochs,
+        undig_epochs=args.undig_epochs, seed=args.seed)
+    print(json.dumps(art["ordering"]))
+
+
+if __name__ == "__main__":
+    main()
