@@ -243,6 +243,91 @@ class TestShardedOps:
                                     jnp.zeros((2, 8)), jnp.zeros((2, 8)))
 
 
+class TestFullDepthParallel:
+    """TP/PP exactness at the REAL LResNet100 depth (VERDICT r3 #6).
+
+    The toy-depth tests above prove the mechanics; these prove the
+    production topology — stage_sizes (3, 13, 30, 3), 49 IR units —
+    end to end against the local forward.  Widths are shrunk
+    (8/16/32/64) so the 49-unit CPU forward stays tractable; depth,
+    strides, split machinery, and envelope bookkeeping are the real
+    thing.
+    """
+
+    FULL_DEPTH = (3, 13, 30, 3)
+    WIDTHS = (8, 16, 32, 64)
+
+    def _model_and_data(self, batch):
+        from alink_tpu.models import ArcFaceResNet100
+
+        model = ArcFaceResNet100(stage_sizes=self.FULL_DEPTH,
+                                 stage_widths=self.WIDTHS,
+                                 embedding_dim=8, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 112, 112, 3), jnp.float32))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 112, 112, 3),
+                               jnp.float32, 0.0, 255.0)
+        return model, params, x
+
+    def test_default_splits_full_depth_r8(self):
+        """FLOP-balanced splits at R=8 over the real 49-unit topology:
+        7 strictly ascending indices, >=1 unit per segment, and no
+        segment above ~2x the ideal FLOP share (parallel/pp.py:63-84)."""
+        from alink_tpu.parallel.pp import _default_splits
+        from alink_tpu.parallel.tp import _unit_strides
+
+        strides = _unit_strides(self.FULL_DEPTH)
+        widths = [w for blocks, w in zip(self.FULL_DEPTH, (64, 128, 256, 512))
+                  for _ in range(blocks)]
+        splits = _default_splits(8, strides, widths, 112)
+        assert len(splits) == 7
+        assert list(splits) == sorted(set(splits))
+        assert all(0 <= s < len(strides) - 1 for s in splits)
+        # Segment FLOP balance: recompute the per-unit costs the splitter
+        # uses and bound the worst segment.
+        hw, costs = 112, []
+        for s, w in zip(strides, widths):
+            hw //= s
+            costs.append(hw * hw * w * w)
+        bounds = (0,) + tuple(s + 1 for s in splits) + (len(costs),)
+        seg = [sum(costs[a:b]) for a, b in zip(bounds, bounds[1:])]
+        assert min(seg) > 0
+        assert max(seg) <= 2.0 * sum(costs) / 8
+
+    def test_arcface_tp_full_depth_matches_local(self, mesh8):
+        """Megatron TP through all 49 units equals the local forward
+        (parallel/tp.py at production depth)."""
+        from alink_tpu.parallel.tp import arcface_tp_apply
+
+        model, params, x = self._model_and_data(batch=8)
+        want = model.apply(params, x)
+        got = arcface_tp_apply(mesh8, params, x,
+                               stage_sizes=self.FULL_DEPTH,
+                               dtype=jnp.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5)
+
+    def test_arcface_pp_full_depth_r8(self):
+        """GPipe at R=8 model ranks through all 49 units with the
+        default FLOP-balanced splits equals the local forward — the
+        _default_splits path at R>4 (parallel/pp.py:63-84) plus the
+        packed-envelope machinery across 7 heterogeneous boundaries."""
+        from alink_tpu.parallel import create_mesh
+        from alink_tpu.parallel.pp import arcface_pp_apply
+
+        mesh = create_mesh((1, 8))
+        model, params, x = self._model_and_data(batch=4)
+        want = model.apply(params, x)
+        got = arcface_pp_apply(mesh, params, x,
+                               stage_sizes=self.FULL_DEPTH,
+                               stage_widths=self.WIDTHS,
+                               microbatches=2, dtype=jnp.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5)
+
+
 class TestDistributed:
     """Multi-host layer (single-process degenerate paths are exact)."""
 
