@@ -122,14 +122,39 @@ _ONET = ONet()
 _LNET = LNet()
 
 
+# MTCNN mean-face template in box-relative coordinates
+# (mtcnn_detector.py:618-619, mean_face_shape_{x,y} + the 0.5 shift of
+# :627-630): a trained O-Net predicts landmarks near this prior.
+_MEAN_FACE = (0.224152, 0.75610125, 0.490127, 0.254149, 0.726104,
+              0.2119465, 0.2119465, 0.628106, 0.780233, 0.780233)
+
+
 def init_cascade_params(key: jax.Array,
                         with_lnet: bool = True) -> MTCNNParams:
-    """Random-init cascade params (pretrained weights load via orbax)."""
+    """Random-init cascade params (pretrained weights load via orbax).
+
+    The O-Net landmark head is seeded at the mean-face prior (tiny
+    kernel + ``_MEAN_FACE`` bias): with fully random weights the
+    landmark output is ~N(0, 1) garbage, whose Umeyama fit degenerates
+    into extreme-scale transforms — every alignment-warp tile then
+    rides the exact full-height fallback, a path real faces never
+    take.  Seeding the head keeps random-weight pipelines (tests,
+    benchmarks) on the production geometry; converted real checkpoints
+    overwrite it entirely.
+    """
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    onet = _ONET.init(k3, jnp.zeros((1, 48, 48, 3)))
+    lmk_head = onet["params"]["Dense_3"]
+    onet = dict(onet)
+    onet["params"] = dict(onet["params"])
+    onet["params"]["Dense_3"] = {
+        "kernel": lmk_head["kernel"] * 0.01,
+        "bias": jnp.asarray(_MEAN_FACE, lmk_head["bias"].dtype),
+    }
     return MTCNNParams(
         pnet=_PNET.init(k1, jnp.zeros((1, 12, 12, 3))),
         rnet=_RNET.init(k2, jnp.zeros((1, 24, 24, 3))),
-        onet=_ONET.init(k3, jnp.zeros((1, 48, 48, 3))),
+        onet=onet,
         lnet=_LNET.init(k4, jnp.zeros((1, 24, 24, 15))) if with_lnet
         else None,
     )

@@ -227,10 +227,10 @@ def affine_warp_batch(
     return _cast_like(out[:, :out_h], imgs.dtype)
 
 
-def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
+def _warp_kernel(scal_ref, ylo_ref, xlo_ref, img_ref, out_ref, *,
                  out_w: int, rows_per_tile: int, band: int, wcn: int,
                  c: int, cpad: int, h: int, h_pad: int, w: int,
-                 border: str):
+                 border: str, n_xb: int = 1, xwin: int = 0):
     """Pallas body: warp one (rows_per_tile, out_w) output tile of image i.
 
     The image block (1, h, wcn) holds the source in its NATIVE lane
@@ -274,10 +274,26 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
 
     Tap weights are built in VMEM from broadcasted iotas — they never
     touch HBM.
+
+    X-windowing (round 4, ``n_xb > 1``): the output row tile is split
+    into ``n_xb`` column blocks, and each block contracts only the
+    ``xwin`` consecutive 128-lane source slices its bilinear taps can
+    touch, located by the scalar-prefetched 128-aligned lane offset
+    ``xlo_ref[i, tb]`` — the same banding idea as the rows, applied to
+    the lane dim (Mosaic supports the dynamic minor-dim slice at
+    128-multiples; benchmarks/exp_dyn_lane_slice.py).  A block whose
+    tap lanes do not fit the window (xlo = -1) is overwritten by the
+    same exact full fallback as a row-band overflow.
     """
     i = pl.program_id(0)
-    t = pl.program_id(1)
-    tp = rows_per_tile * out_w
+    tb = pl.program_id(1)
+    if n_xb == 1:
+        t = tb
+        bw = out_w
+    else:
+        t = tb // n_xb
+        bw = out_w // n_xb
+    tp = rows_per_tile * bw
 
     a00 = scal_ref[i, 0]
     a01 = scal_ref[i, 1]
@@ -288,15 +304,18 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
 
     # TRANSPOSED orientation (round 3): output pixels live in LANES and
     # channels in SUBLANES, so the out block is (cpad, tp) and the out
-    # array (n, cpad, n_tiles·tp) — physical layout == logical bytes.
+    # array (n, cpad, n_blocks·tp) — physical layout == logical bytes.
     # The previous (tp, cpad) orientation put cpad=8 in the minor dim,
     # which HBM tiling T(8, 128) pads to 128 lanes: the output store
     # alone measured 1.11 ms/64 vs 0.034 ms for the same logical bytes
     # lane-packed (benchmarks/exp_pack_probe.py) — ~half the kernel's
     # total runtime was writing padding.
-    p = t * tp + jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-    y = (p // out_w).astype(jnp.float32)
-    x = (p % out_w).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    y = (t * rows_per_tile + p // bw).astype(jnp.float32)
+    if n_xb == 1:
+        x = (p % bw).astype(jnp.float32)
+    else:
+        x = ((tb % n_xb) * bw + p % bw).astype(jnp.float32)
     X = a00 * (x - bx) + a01 * (y - by)  # (1, tp) source coords
     Y = a10 * (x - bx) + a11 * (y - by)
     if border == "nearest":
@@ -307,7 +326,7 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
     lmap = jax.lax.broadcasted_iota(jnp.int32, (cpad, 128), 1)
     cmap = jax.lax.broadcasted_iota(jnp.int32, (cpad, 128), 0)
 
-    def accum_chunk(acc, y0):
+    def accum_chunk(acc, y0, lane0=None):
         """Add one K=``band`` H-contraction chunk at row offset ``y0``.
 
         Per 128-lane slice s of the source:  rowsT = img_sᵀ @ wyᵀ is the
@@ -318,21 +337,34 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
         pixel staying in lanes: acc += fold_sᵀ (cpad, 128) @ z (128, tp).
         Same FLOPs as the untransposed form; zero-pad rows of the image
         block contribute exactly 0 (taps at rows ≥ h only ever carry
-        weight when the zero-border semantics want 0 anyway)."""
+        weight when the zero-border semantics want 0 anyway).
+
+        ``lane0 = None``: contract every static 128-lane slice.
+        Otherwise contract the ``xwin`` slices starting at the traced
+        128-aligned lane offset ``lane0``.
+        """
         row = (y0 + jax.lax.broadcasted_iota(jnp.int32, (band, tp), 0)
                ).astype(jnp.float32)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - row)
                          ).astype(jnp.bfloat16)                  # (band, tp)
-        for s in range(wcn // 128):
-            img_s = img_ref[0, pl.ds(y0, band), s * 128:(s + 1) * 128]
+        n_s = wcn // 128 if lane0 is None else xwin
+        for s in range(n_s):
+            if lane0 is None:
+                base = s * 128
+                img_s = img_ref[0, pl.ds(y0, band), base:base + 128]
+                gl = sub + base                                  # (128, 1)
+                fold_s = ((lmap + base) % c == cmap
+                          ).astype(jnp.bfloat16)                 # (cpad, 128)
+            else:
+                base = pl.multiple_of(lane0 + s * 128, 128)
+                img_s = img_ref[0, pl.ds(y0, band), pl.ds(base, 128)]
+                gl = sub + base
+                fold_s = ((lmap + base) % c == cmap).astype(jnp.bfloat16)
             rowsT = jnp.dot(img_s.astype(jnp.bfloat16).T, wy,
                             preferred_element_type=jnp.float32)  # (128, tp)
-            gl = sub + s * 128                                   # (128, 1)
             xmap = (gl // c).astype(jnp.float32)
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(X - xmap))       # (128, tp)
             z = (rowsT * wx).astype(jnp.bfloat16)
-            fold_s = ((lmap + s * 128) % c == cmap
-                      ).astype(jnp.bfloat16)                     # (cpad, 128)
             acc = acc + jnp.dot(fold_s, z,
                                 preferred_element_type=jnp.float32)
         return acc                                               # (cpad, tp)
@@ -341,32 +373,36 @@ def _warp_kernel(scal_ref, ylo_ref, img_ref, out_ref, *,
 
     def full_tile():
         # Exact fallback: contract every ``band`` chunk of the padded
-        # height (disjoint offsets, so taps are counted once).
+        # height over every static lane slice (disjoint offsets, so
+        # taps are counted once).
         acc = zero
         for k in range(h_pad // band):
             acc = accum_chunk(acc, k * band)
         out_ref[0] = acc
 
-    if band < h:
-        # ylo_ref[i, t] = 8-aligned band offset, or -1 for a tile whose
-        # tap span exceeds the band.  The banded contraction runs
-        # UNCONDITIONALLY (offset clamped for overflow tiles — their
-        # result is garbage) and the rare overflow tile is then
-        # overwritten by a pl.when full-height pass: a never-taken
-        # pl.when costs only its scalar predicate, whereas wrapping the
-        # common path in pl.when too measured +0.9 ms/64 (predication
-        # breaks Mosaic's cross-step pipelining for every tile).
-        y_lo_raw = ylo_ref[i, t]
-        # _band_offsets aligns down to 8; Mosaic needs the proof.
-        y_lo = pl.multiple_of(jnp.maximum(y_lo_raw, 0), 8)
+    banded_y = band < h
+    y_lo_raw = ylo_ref[i, t] if banded_y else jnp.int32(0)
+    # _band_offsets aligns down to 8; Mosaic needs the proof.
+    y_lo = pl.multiple_of(jnp.maximum(y_lo_raw, 0), 8)
+    if n_xb > 1:
+        x_lo_raw = xlo_ref[i, tb]
+        x_lo = pl.multiple_of(jnp.maximum(x_lo_raw, 0), 128)
+        # Common path: banded rows AND windowed lanes, unconditionally
+        # (garbage for overflow blocks); the rare overflow block is
+        # overwritten by the pl.when full pass — only the never-taken
+        # branch may be predicated (BENCHMARKS.md round-2: predicating
+        # the common path broke Mosaic's pipelining, +0.9 ms/64).
+        out_ref[0] = accum_chunk(zero, y_lo, x_lo)
+        pl.when((y_lo_raw < 0) | (x_lo_raw < 0))(full_tile)
+    elif banded_y:
         out_ref[0] = accum_chunk(zero, y_lo)
         pl.when(y_lo_raw < 0)(full_tile)
     else:
         full_tile()
 
 
-def _banded_warp_call(imgsn, scal, ylo, out_size, band, rows_per_tile,
-                      h, w, c, cpad, border, interpret):
+def _banded_warp_call(imgsn, scal, ylo, xlo, out_size, band, rows_per_tile,
+                      h, w, c, cpad, border, interpret, n_xb=1, xwin=0):
     """One pallas_call of the warp kernel (banded iff ``band < h``).
 
     ``imgsn``: (n, h_pad, wcn) f32, lane l = x*c + ch, zero-padded to a
@@ -374,8 +410,10 @@ def _banded_warp_call(imgsn, scal, ylo, out_size, band, rows_per_tile,
     zero rows contribute exactly 0 to the contraction — see
     ``_warp_kernel``).  ``ylo``: (n, n_tiles) int32 8-aligned band
     offsets with 0 <= ylo <= h - band (ignored when band == h).
+    ``xlo``: (n, n_tiles·n_xb) int32 128-aligned lane-window offsets,
+    -1 = overflow (ignored when n_xb == 1).
 
-    Output is TRANSPOSED: (n, cpad, n_tiles·tp) — output pixels in the
+    Output is TRANSPOSED: (n, cpad, n_blocks·tp) — output pixels in the
     128-lane dim, channels in sublanes — so the HBM store is lane-packed
     instead of T(8, 128)-padding an 8-lane minor dim 16x
     (benchmarks/exp_pack_probe.py: 1.11 vs 0.034 ms/64 for identical
@@ -384,23 +422,24 @@ def _banded_warp_call(imgsn, scal, ylo, out_size, band, rows_per_tile,
     n, h_pad, wcn = imgsn.shape
     out_h, out_w = out_size
     n_tiles = -(-out_h // rows_per_tile)
-    tp = rows_per_tile * out_w
+    n_blocks = n_tiles * n_xb
+    tp = rows_per_tile * out_w // n_xb
 
     out = pl.pallas_call(
         partial(_warp_kernel, out_w=out_w, rows_per_tile=rows_per_tile,
                 band=band, wcn=wcn, c=c, cpad=cpad, h=h, h_pad=h_pad,
-                w=w, border=border),
+                w=w, border=border, n_xb=n_xb, xwin=xwin),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # per-image Ainv/b + per-tile band rows
-            grid=(n, n_tiles),
+            num_scalar_prefetch=3,  # per-image Ainv/b + band rows + lanes
+            grid=(n, n_blocks),
             in_specs=[pl.BlockSpec((1, h_pad, wcn),
-                                   lambda i, t, scal, ylo: (i, 0, 0))],
+                                   lambda i, t, scal, ylo, xlo: (i, 0, 0))],
             out_specs=pl.BlockSpec((1, cpad, tp),
-                                   lambda i, t, scal, ylo: (i, 0, t)),
+                                   lambda i, t, scal, ylo, xlo: (i, 0, t)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, cpad, n_tiles * tp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, cpad, n_blocks * tp), jnp.float32),
         interpret=interpret,
-    )(scal, ylo, imgsn)
+    )(scal, ylo, xlo, imgsn)
     return out
 
 
@@ -436,8 +475,46 @@ def _band_offsets(Ainv, bvec, out_size, rows_per_tile, band, h, border):
     return jnp.where(fits, ylo, -1)
 
 
+def _xband_offsets(Ainv, bvec, out_size, rows_per_tile, n_xb, xwin,
+                   w, c, wcn, border):
+    """Per-(image, row-tile, x-block) 128-aligned lane-window offsets,
+    -1 = the block's tap lanes exceed the ``xwin``-slice window.
+
+    X is linear in (x, y), so its extrema over a block sit at the block
+    corners.  Tap columns cover [floor(Xmin), floor(Xmax)+1] clamped to
+    the image (out-of-image taps carry zero weight and need no lanes);
+    lanes cover [c*colmin, c*colmax + c - 1].
+    """
+    out_h, out_w = out_size
+    n_tiles = -(-out_h // rows_per_tile)
+    bw = out_w // n_xb
+    ts = jnp.arange(n_tiles, dtype=jnp.float32) * rows_per_tile
+    ys = jnp.stack([ts, ts + rows_per_tile - 1.0], -1)        # (T, 2)
+    x0 = jnp.arange(n_xb, dtype=jnp.float32) * bw
+    xs = jnp.stack([x0, x0 + bw - 1.0], -1)                   # (B, 2)
+    a00 = Ainv[:, 0, 0][:, None, None, None, None]
+    a01 = Ainv[:, 0, 1][:, None, None, None, None]
+    bx = bvec[:, 0][:, None, None, None, None]
+    by = bvec[:, 1][:, None, None, None, None]
+    # (n, T, B, 2, 2): X at the four corners of every block.
+    Xc = (a00 * (xs[None, None, :, :, None] - bx)
+          + a01 * (ys[None, :, None, None, :] - by))
+    if border == "nearest":
+        Xc = jnp.clip(Xc, 0.0, w - 1.0)
+    cmin = jnp.clip(jnp.floor(jnp.min(Xc, axis=(3, 4))), 0.0, float(w - 1))
+    cmax = jnp.clip(jnp.floor(jnp.max(Xc, axis=(3, 4))) + 1.0, 0.0,
+                    float(w - 1))
+    lmin = cmin * c
+    lmax = cmax * c + (c - 1)
+    xlo = jnp.clip((lmin // 128) * 128, 0.0, float(wcn - xwin * 128))
+    fits = lmax <= xlo + xwin * 128 - 1
+    return jnp.where(fits, xlo, -1.0).astype(jnp.int32).reshape(
+        Ainv.shape[0], n_tiles * n_xb)
+
+
 @partial(jax.jit,
-         static_argnames=("out_size", "border", "interpret", "band"))
+         static_argnames=("out_size", "border", "interpret", "band",
+                          "xblocks"))
 def affine_warp_batch_pallas(
     imgs: jnp.ndarray,
     Ms: jnp.ndarray,
@@ -445,6 +522,7 @@ def affine_warp_batch_pallas(
     border: str = "zero",
     interpret: bool = False,
     band: int = 128,
+    xblocks: int = 2,
 ) -> jnp.ndarray:
     """Pallas TPU warp: same numerics contract as ``affine_warp_batch``.
 
@@ -513,17 +591,49 @@ def affine_warp_batch_pallas(
     else:
         band = h
         ylo = jnp.zeros((n, n_tiles), jnp.int32)
+
+    # Lane-window plan (round 4): split each row tile into ``xblocks``
+    # column blocks and contract only the xwin-slice window the block's
+    # taps touch (see _warp_kernel).  xwin sizes so the window covers a
+    # block at the face-alignment scale range (source span bw*s + shear
+    # + 2 cols with 128-lane alignment slack); wider transforms ride
+    # the exact fallback per block.  Only engaged when it actually
+    # skips slices and the block geometry divides evenly.
+    n_xb = xblocks
+    xwin = 0
+    if n_xb > 1:
+        total_slices = wcn // 128
+        xwin = total_slices - 1
+        # xwin must skip work AND give the window real coverage (an
+        # xwin-slice window minus the 128-lane alignment slack covers
+        # spans of xwin*128 - 127 lanes — useless at xwin 1).
+        if (out_w % n_xb or rows_per_tile * (out_w // n_xb) % 128
+                or xwin < 2):
+            n_xb = 1
+    if n_xb > 1:
+        xlo = _xband_offsets(Ainv, bvec, out_size, rows_per_tile,
+                             n_xb, xwin, w, c, wcn, border)
+    else:
+        xlo = jnp.zeros((n, n_tiles * n_xb), jnp.int32)
     cpad = 8
-    out = _banded_warp_call(imgsn, scal, ylo, out_size=out_size,
+    out = _banded_warp_call(imgsn, scal, ylo, xlo, out_size=out_size,
                             band=band, rows_per_tile=rows_per_tile,
                             h=h, w=w, c=c, cpad=cpad, border=border,
-                            interpret=interpret)
+                            interpret=interpret, n_xb=n_xb, xwin=xwin)
     # (n, cpad, P) lane-packed -> NHWC: the slice+transpose reads/writes
     # only the logical bytes (XLA relayout, measured ~0.007 ms/64
     # standalone) — vs ~1.1 ms/64 the kernel paid to store a (P, 8)
     # minor dim padded to 128 lanes.
-    chips = jnp.swapaxes(out[:, :c, : out_h * out_w], 1, 2)
-    return _cast_like(chips.reshape(n, out_h, out_w, c), imgs.dtype)
+    if n_xb == 1:
+        chips = jnp.swapaxes(out[:, :c, : out_h * out_w], 1, 2)
+        return _cast_like(chips.reshape(n, out_h, out_w, c), imgs.dtype)
+    # Blocked layout: (n, cpad, T, XB, rpt, bw) -> (n, H, W, C).
+    bw = out_w // n_xb
+    chips = out[:, :c].reshape(n, c, n_tiles, n_xb, rows_per_tile, bw)
+    chips = chips.transpose(0, 2, 4, 3, 5, 1)
+    return _cast_like(
+        chips.reshape(n, n_tiles * rows_per_tile, out_w, c)[:, :out_h],
+        imgs.dtype)
 
 
 def affine_warp(

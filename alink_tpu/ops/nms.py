@@ -44,15 +44,16 @@ def iou_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
     return inter / jnp.maximum(denom, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "unroll"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     threshold: float,
     mode: str = "union",
+    unroll: int | None = None,
 ) -> jnp.ndarray:
-    """Greedy NMS over a fixed budget.
+    """Greedy NMS over a fixed budget — sort-free.
 
     Args:
         boxes: (K, 4) [x1, y1, x2, y2].
@@ -60,47 +61,124 @@ def nms(
         valid: (K,) bool mask of live candidates.
         threshold: overlap threshold (suppress if overlap > threshold).
         mode: "union" (IoU) or "min" (helper.py:58-61).
+        unroll: Jacobi sub-steps per while-loop convergence check;
+            default picks by budget size (see below).
 
     Returns:
         (K,) bool keep-mask aligned with the input order.
+
+    Greedy NMS visits candidates in descending score order and keeps a
+    candidate iff no *kept* earlier candidate overlaps it past the
+    threshold (helper.py:39-65).  The visit order only enters through
+    the "earlier" relation, so instead of materialising it with an
+    argsort + permute + scatter-back (measured: the two stage-1 NMS
+    passes cost 0.60 ms/64 images of the typical-profile cascade, a
+    third of stage 1), the dominance matrix compares scores directly:
+
+        dom[j, i] = overlap > t  &  valid_j  &  (score_j, j) > (score_i, i)
+
+    (lexicographic — index breaks exact-score ties; any consistent
+    order is faithful, the reference's np.argsort is an unstable
+    quicksort).  The greedy solution is then the fixed point of the
+    Jacobi iteration keep = valid & ~(dom^T keep) from keep = valid,
+    reached in (longest suppression chain) steps — a handful, versus K
+    dependent iterations of a sequential scan (K = 448 in the stage-1
+    global pass).  Proof: after t iterations every candidate whose
+    dominator-chain length is <= t holds its greedy value (induction
+    in score order); the loop exits one sweep after nothing changes.
+
+    ``unroll`` Jacobi sub-steps run per convergence check: for small
+    budgets the on-device predicate evaluation dominates the masked
+    reduces, so blind sub-steps amortise it; for large budgets the
+    reduce work dominates and checking every step minimises total
+    sweeps.  Exact either way — past the fixed point the update is
+    idempotent and the exit still gates on convergence.
+    """
+    k = boxes.shape[0]
+    if k >= 256:
+        return _nms_blocked(boxes, scores, valid, threshold, mode)
+    if unroll is None:
+        unroll = 4 if k <= 64 else 1
+    overlap = iou_matrix(boxes, mode=mode)
+    idx = jnp.arange(k)
+    higher = (scores[:, None] > scores[None, :]) | (
+        (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    dom = (overlap > threshold) & higher & valid[:, None]
+
+    def step(state):
+        keep, _ = state
+        for _ in range(unroll - 1):
+            keep = valid & ~jnp.any(dom & keep[:, None], axis=0)
+        new = valid & ~jnp.any(dom & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(
+        lambda s: s[1], step, (valid, jnp.bool_(True))
+    )
+    return keep
+
+
+def _nms_blocked(boxes, scores, valid, threshold, mode,
+                 block: int = 128) -> jnp.ndarray:
+    """Large-budget greedy NMS: sorted block-sequential elimination.
+
+    The whole-matrix Jacobi pays (chain depth) full K x K sweeps — at
+    the dense-scene stage-1 budget (K = 896) that measured 4.9 ms/64
+    images, the single biggest item in the worst-case cascade.  Here
+    candidates are sorted once, then blocks of ``block`` are finalised
+    in score order: each block takes suppression from the already-final
+    earlier blocks with ONE masked reduce over its dominance columns
+    (each column of the matrix is read exactly once across the whole
+    pass), and only the within-block chains iterate — on a block x
+    block slice.  Total traffic ~= one triangular pass over the K x K
+    matrix plus (local chain depth) block-sized sweeps, versus (global
+    chain depth) full sweeps.
+
+    Exactness: greedy keep of candidate i depends only on earlier
+    candidates, so finalising in sorted block order is the greedy
+    recurrence itself; the within-block fixed point is the same Jacobi
+    argument as the small-budget path.  Tie order among exactly-equal
+    scores follows the descending sort (unspecified in the reference —
+    np.argsort quicksort, helper.py:39).
     """
     k = boxes.shape[0]
     neg = jnp.finfo(scores.dtype).min
-    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]  # descending
+    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]
     sboxes = boxes[order]
     svalid = valid[order]
     overlap = iou_matrix(sboxes, mode=mode)
-
-    # Greedy NMS as a Jacobi fixed point instead of a K-step sequential
-    # scan: candidate i survives iff no *kept* higher-scoring candidate
-    # overlaps it, i.e. keep = svalid & ~(dom^T @ keep) where
-    # dom[j, i] = "j earlier, valid, overlap > t".  Iterating from
-    # keep = svalid reaches the greedy solution in (longest suppression
-    # chain) steps — a handful in practice versus K dependent loop
-    # iterations (K = 448 in the stage-1 global pass), each a full
-    # sequential latency on TPU.  Proof of equivalence: after t
-    # iterations every candidate whose dominator-chain length is <= t
-    # holds its greedy value (induction in score order); the loop exits
-    # one iteration after nothing changes.
     idx = jnp.arange(k)
     dom = (overlap > threshold) & (idx[:, None] < idx[None, :]) \
         & svalid[:, None]
 
-    def step(state):
-        keep, _ = state
-        new = svalid & ~jnp.any(dom & keep[:, None], axis=0)
-        return new, jnp.any(new != keep)
+    done = []
+    for b0 in range(0, k, block):
+        b1 = min(b0 + block, k)
+        vb = svalid[b0:b1]
+        if done:
+            prev = jnp.concatenate(done)
+            free = vb & ~jnp.any(dom[:b0, b0:b1] & prev[:, None], axis=0)
+        else:
+            free = vb
+        domb = dom[b0:b1, b0:b1]
 
-    keep_sorted, _ = jax.lax.while_loop(
-        lambda s: s[1], step, (svalid, jnp.bool_(True))
-    )
-    # Scatter back to input order.
-    keep = jnp.zeros(k, bool).at[order].set(keep_sorted)
-    return keep
+        def step(state, free=free, domb=domb):
+            kb, _ = state
+            for _ in range(3):
+                kb = free & ~jnp.any(domb & kb[:, None], axis=0)
+            new = free & ~jnp.any(domb & kb[:, None], axis=0)
+            return new, jnp.any(new != kb)
+
+        kb, _ = jax.lax.while_loop(lambda s: s[1], step,
+                                   (free, jnp.bool_(True)))
+        done.append(kb)
+    keep_sorted = jnp.concatenate(done)
+    return jnp.zeros(k, bool).at[order].set(keep_sorted)
 
 
-def nms_batch(boxes, scores, valid, threshold, mode="union"):
+def nms_batch(boxes, scores, valid, threshold, mode="union", unroll=None):
     """vmap of ``nms`` over a leading batch axis."""
-    return jax.vmap(lambda b, s, v: nms(b, s, v, threshold, mode=mode))(
+    return jax.vmap(lambda b, s, v: nms(b, s, v, threshold, mode=mode,
+                                        unroll=unroll))(
         boxes, scores, valid
     )

@@ -66,9 +66,32 @@ def main():
         "o_pool2_21x64": ((4096, 21, 21, 64), 3, 2),
         "o_pool3_8x64": ((4096, 8, 8, 64), 2, 2),
     }
+    def pool_slices(x, window, stride):
+        """Ceil-mode max pool as a max over window² strided slices —
+        elementwise maxes instead of reduce_window, so XLA can fuse the
+        whole chain with neighbouring PReLU/cast glue."""
+        h, w = x.shape[1], x.shape[2]
+        oh = -(-max(h - window, 0) // stride) + 1
+        ow = -(-max(w - window, 0) // stride) + 1
+        ph = (oh - 1) * stride + window - h
+        pw = (ow - 1) * stride + window - w
+        if ph or pw:
+            neg = jnp.finfo(x.dtype).min
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        constant_values=neg)
+        out = None
+        for dy in range(window):
+            for dx in range(window):
+                sl = x[:, dy:dy + (oh - 1) * stride + 1:stride,
+                       dx:dx + (ow - 1) * stride + 1:stride]
+                out = sl if out is None else jnp.maximum(out, sl)
+        return out
+
     for name, (shape, wnd, strd) in {**r_shapes, **o_shapes}.items():
         x = jax.random.normal(key, shape, jnp.bfloat16)
         timed(name, lambda v, w=wnd, s=strd: _ceil_pool(v, w, s), x)
+        timed(name + "_slices",
+              lambda v, w=wnd, s=strd: pool_slices(v, w, s), x)
 
     for name, shape in (("r_prelu_22x28", (8192, 22, 22, 28)),
                         ("o_prelu_46x32", (4096, 46, 46, 32))):

@@ -11,6 +11,8 @@ read before conftest runs.  ``jax.config.update`` still works because no
 backend has been initialised yet.
 """
 
+import pathlib
+
 import jax
 import pytest
 
@@ -18,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # bfloat16 matmuls on CPU are emulated and slow; tests use float32 precision.
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: the suite's wall clock is dominated by XLA
+# compiles on this box's single CPU core (30+ min cold); cached repeats
+# of unchanged programs bring the fast lane under the 5-minute claim.
+# Keyed by HLO hash, so code changes recompile exactly what changed.
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_test_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

@@ -288,6 +288,7 @@ class TestLoopCheckpoint:
         loop, _, _ = helper._setup()
         assert not loop.restore(str(tmp_path / "nope"))
 
+    @pytest.mark.slow
     def test_interrupted_run_resumes_to_identical_trajectory(self,
                                                              tmp_path):
         """SURVEY.md section 5.3: kill-and-resume must reproduce the
@@ -500,6 +501,7 @@ class TestSelectionQuality:
         pred = np.asarray(jnp.argmax(logits, axis=-1))
         return float((pred == y).mean())
 
+    @pytest.mark.slow
     def test_alink_beats_random_at_equal_budget(self):
         rng = np.random.default_rng(42)
         plain, disguised, Uo = self._make_data(rng)
@@ -907,6 +909,7 @@ class TestCheckpointEdgeCases:
 
 
 class TestEmptyPyramid:
+    @pytest.mark.slow
     def test_min_side_equal_min_size_returns_no_detections(self):
         """Reference: `while minl > MIN_DET_SIZE` yields an empty pyramid
         for images whose min side == minsize, and detect_face returns

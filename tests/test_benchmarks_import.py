@@ -25,6 +25,7 @@ def test_bench_py_imports():
     assert callable(bench.main)
 
 
+@pytest.mark.slow
 def test_graft_entry_builds():
     import __graft_entry__ as g
 

@@ -34,6 +34,7 @@ class TestTopologies:
 
 
 class TestClassifierTraining:
+    @pytest.mark.slow
     def test_fit_learns(self):
         model = SmallResClassifier(3, dtype=jnp.float32)
         state = T.create_classifier_state(

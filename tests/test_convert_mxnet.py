@@ -112,6 +112,7 @@ def _tree_shapes(t):
     return jax.tree.map(lambda x: jnp.asarray(x).shape, t)
 
 
+@pytest.mark.slow
 def test_arcface_tree_matches_model_init():
     raw = _synth_arcface_raw()
     tree = cm.arcface_param_tree(raw, stage_sizes=(1, 1, 1, 1))
@@ -172,6 +173,7 @@ def test_fc1_bn_folding():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_genderage_tree_matches_model_and_decodes():
     """The genderage converter maps a gamodel-shaped checkpoint onto
     GenderAgeResNet50 (202-d raw fc1, no L2 norm) and the decode runs."""

@@ -149,6 +149,7 @@ class TestFaceModel:
         assert feats.shape == (2, 512)
 
 
+    @pytest.mark.slow
     def test_no_face_images_are_flagged_and_zeroed(self, tiny_embedder,
                                                    cascade):
         """Batched analog of the reference get_input's None return
@@ -174,6 +175,7 @@ class TestFaceModel:
         np.testing.assert_array_equal(np.asarray(found),
                                       np.asarray(found2))
 
+    @pytest.mark.slow
     def test_cfg_swap_invalidates_cached_trace(self, tiny_embedder,
                                                cascade, small_cfg):
         """Reassigning cfg must re-trace process() — a cached trace would

@@ -96,6 +96,28 @@ def test_nms_blocked_multiblock_dense(mode, seed):
     assert not keep[~valid].any()
 
 
+@pytest.mark.parametrize("mode", ["union", "min"])
+@pytest.mark.parametrize("k", [256, 300, 520])
+def test_nms_large_budget_blocked_path(mode, k):
+    """K >= 256 routes through _nms_blocked (sorted block-sequential
+    elimination, ops/nms.py) — must still equal the greedy oracle,
+    including at non-multiple-of-block sizes and across block
+    boundaries of long suppression chains."""
+    rng = np.random.default_rng(k + (mode == "min"))
+    xy = rng.uniform(0, 90, size=(k, 2))
+    wh = rng.uniform(8, 60, size=(k, 2))
+    b = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    s = rng.uniform(0, 1, size=k).astype(np.float32)
+    valid = rng.random(k) > 0.05
+    keep = np.asarray(nmsops.nms(jnp.asarray(b), jnp.asarray(s),
+                                 jnp.asarray(valid), 0.5, mode=mode))
+    expected = _greedy_nms_reference(b[valid], s[valid], 0.5, mode)
+    vidx = np.where(valid)[0]
+    assert sorted(np.where(keep)[0].tolist()) == sorted(
+        vidx[expected].tolist())
+    assert not keep[~valid].any()
+
+
 def test_nms_respects_validity_mask():
     b = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
     s = jnp.array([0.9, 0.8])
@@ -333,6 +355,33 @@ def test_affine_warp_pallas_matches_gather_oracle(rng):
                                    atol=1.5)
 
 
+@pytest.mark.slow
+def test_affine_warp_pallas_xwindow_parity(rng):
+    """The x-windowed path (112-wide output over a 160² source engages
+    n_xb=2 lane windows, ops/image.py round 4) must match the einsum
+    warp for realistic alignment transforms AND for extreme transforms
+    that overflow the window (the per-block exact fallback)."""
+    k1, _ = jax.random.split(rng)
+    imgs = jax.random.uniform(k1, (2, 160, 160, 3)) * 255.0
+    realistic = []
+    for s, th, tx, ty in ((0.6, -0.2, -10.0, 4.0), (1.38, 0.25, 0.0, 7.0)):
+        A = (1.0 / s) * np.array([[np.cos(th), -np.sin(th)],
+                                  [np.sin(th), np.cos(th)]])
+        realistic.append(np.hstack([A, np.array([[tx], [ty]])]))
+    extreme = [
+        np.array([[0.01, 0.0, 50.0], [0.0, 0.01, 50.0]]),   # tiny span
+        np.array([[3.0, 0.5, 10.0], [-0.4, 2.5, 5.0]]),     # giant span
+    ]
+    for Ms in (realistic, extreme):
+        Ms = jnp.asarray(np.stack(Ms), jnp.float32)
+        got = imops.affine_warp_batch_pallas(imgs, Ms, (112, 112),
+                                             interpret=True)
+        want = imops.affine_warp_batch(imgs, Ms, (112, 112))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1.5)
+
+
+@pytest.mark.slow
 def test_affine_warp_pallas_large_source_tile_shrink(rng):
     """The kernel's VMEM intermediates scale with the SOURCE image
     (wy: tp x H, rows: tp x W*C) — a large source must shrink the row

@@ -92,6 +92,7 @@ def test_arcface_embeddings_unit_norm(rng):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet50_scan_units_matches_unrolled(rng):
     """Same scan-vs-unrolled contract for the VGGFace teacher backbone."""
     from alink_tpu.models import (VGGFaceResNet50, stack_bottleneck_params,

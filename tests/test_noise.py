@@ -45,6 +45,7 @@ def test_poisson_scaling(rng):
     assert y.min() >= 0
 
 
+@pytest.mark.slow
 def test_poisson_approx_matches_exact_statistics(rng):
     """The default Gaussian-limit sampler must match the exact Poisson's
     mean AND variance, and the uint8 unique-count must agree with the
@@ -107,6 +108,7 @@ def test_perlin_zero_at_grid_nodes(rng):
             np.testing.assert_allclose(field[r, c], 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_perlin_octave_selection(rng):
     # noise.py:145-148 — 112 % 56 == 0 -> (56, 32, 16) octaves; sizes not
     # divisible by 56 use (50, 30, 15).  Both must run without error.

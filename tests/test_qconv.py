@@ -40,6 +40,7 @@ def test_flat_layout_round_trip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_chained_convs_with_prelu_quant_epilogue():
     """conv -> PReLU+requant -> conv inside the flat layout matches the
     same computation done step-by-step in XLA NHWC."""

@@ -71,6 +71,7 @@ def test_chained_blocks_match_flax_sequence():
     assert np.max(np.abs(want - got)) / (np.max(np.abs(want)) + 1e-9) < 0.03
 
 
+@pytest.mark.slow
 def test_fused_resnet50_forward_matches_flax():
     """The full fused forward (stem + strided XLA blocks + fused chains)
     reproduces VGGFaceResNet50.apply on a small config."""

@@ -137,6 +137,7 @@ class TestLoopSupervision:
             np.full(p, 2, np.int32))
         return loop, plain, dig
 
+    @pytest.mark.slow
     def test_supervised_crash_resumes_identically(self, tmp_path):
         # Ground truth: uninterrupted run.
         loop_a, plain, dig = self._setup()

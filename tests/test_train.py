@@ -209,6 +209,7 @@ class TestCustomTrain:
 
 
 class TestSmallResTraining:
+    @pytest.mark.slow
     def test_dropout_rng_threads(self):
         model = SmallRes(feature_dim=32, dtype=jnp.float32)
         st = T.create_train_state(
@@ -249,6 +250,7 @@ def test_test_accuracy_matches_definition(state):
 
 
 class TestEnsembleTraining:
+    @pytest.mark.slow
     def test_vmapped_members_learn_independently(self):
         head = SiameseHead(widths=(16, 8), dtype=jnp.float32)
         e = 3
@@ -284,6 +286,7 @@ class TestEnsembleTraining:
         acc = np.mean(np.argmax(np.asarray(probs), -1) == np.asarray(y))
         assert acc > 0.7
 
+    @pytest.mark.slow
     def test_per_member_batches(self):
         """Members receive different batches (bagging effect preserved)."""
         head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
