@@ -230,14 +230,33 @@ def _crop_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
 
+def _fenced_tower(net, params, crops):
+    """Run a refine-net tower behind fusion fences.
+
+    Measured (round 4, dense budgets): the R/O-Net towers standalone
+    cost 3.4/8.2 ms per 64 images, but 8.5/11.0 ms *inside* the fused
+    cascade program — letting XLA fuse the crop einsums and the
+    downstream NMS/select glue into the tower's conv/pool schedule
+    costs more than the fusion saves (same economics as the
+    align→embed fence in FaceModel._best_chips).  Barriers on the
+    tower's inputs and outputs keep its schedule clean.  The crops
+    stay in the tower compute dtype end-to-end (the f32 round trip of
+    the crop batch is skipped, out_dtype in crop_and_resize).
+    """
+    crops = jax.lax.optimization_barrier(crops)
+    out = net.apply(params, preprocess.mtcnn(crops))
+    return jax.lax.optimization_barrier(out)
+
+
 def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
     # Crop geometry keeps the unclipped extent (pad()'s tmpw/tmph are
     # computed before its in-place clamp, mtcnn_detector.py:148-151);
     # everything downstream sees the clipped boxes (see clip_to_image).
     crops = crop_and_resize(img, boxes, (24, 24),
-                            compute_dtype=_crop_dtype())
+                            compute_dtype=_crop_dtype(),
+                            out_dtype=_crop_dtype())
     boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
-    prob, reg = _RNET.apply(params.rnet, preprocess.mtcnn(crops))
+    prob, reg = _fenced_tower(_RNET, params.rnet, crops)
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[1])  # (:418)
     valid = valid & nms(boxes, scores, valid, 0.7)  # (:424)
@@ -249,11 +268,12 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
 
 def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
     crops = crop_and_resize(img, boxes, (48, 48),
-                            compute_dtype=_crop_dtype())
+                            compute_dtype=_crop_dtype(),
+                            out_dtype=_crop_dtype())
     # pad()'s in-place clamp again: landmark decode and calibration both
     # read the clipped squares (mtcnn_detector.py:441, 457-466).
     boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
-    prob, reg, lmk = _ONET.apply(params.onet, preprocess.mtcnn(crops))
+    prob, reg, lmk = _fenced_tower(_ONET, params.onet, crops)
     scores = prob[:, 1]
     valid = valid & (scores > cfg.thresholds[2])  # (:451)
     # Landmarks decode from the pre-calibration squares

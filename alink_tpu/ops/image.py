@@ -649,6 +649,7 @@ def crop_and_resize(
     boxes: jnp.ndarray,
     out_size: tuple[int, int],
     compute_dtype=None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Crop integer boxes [x1, y1, x2, y2] (inclusive, reference convention
     width = x2 - x1 + 1) from one HWC image and resize each to ``out_size``.
@@ -690,9 +691,13 @@ def crop_and_resize(
     # row intermediates; tap weights are exact to ~2^-8, i.e. <=1 LSB on
     # uint8-range pixels — the budget the cascade's conv stages already
     # accept.  The coordinates above stay f32 (never through a matmul).
+    # ``out_dtype`` lets a bf16 consumer (the R/O-Net towers) skip the
+    # f32 round trip of the crop batch entirely.
     cdt = compute_dtype or jnp.float32
     rows = jnp.einsum("koh,hwc->kowc", wy.astype(cdt), img.astype(cdt),
                       preferred_element_type=jnp.float32)
-    return _cast_like(
-        jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
-                   preferred_element_type=jnp.float32), img.dtype)
+    out = jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    if out_dtype is not None:
+        return out.astype(out_dtype)
+    return _cast_like(out, img.dtype)

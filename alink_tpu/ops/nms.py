@@ -98,7 +98,7 @@ def nms(
     if k >= 256:
         return _nms_blocked(boxes, scores, valid, threshold, mode)
     if unroll is None:
-        unroll = 4 if k <= 64 else 1
+        unroll = 4 if k <= 64 else (2 if k <= 128 else 1)
     overlap = iou_matrix(boxes, mode=mode)
     idx = jnp.arange(k)
     higher = (scores[:, None] > scores[None, :]) | (

@@ -87,11 +87,60 @@ def main():
                 out = sl if out is None else jnp.maximum(out, sl)
         return out
 
+    def pool_pairmax(x, window, stride):
+        """Ceil-mode max pool for stride 2 via reshape-pair maxes: no
+        reduce_window, no strided slices — every op is a reshape, a
+        contiguous slice, or an elementwise max, all freely fusable.
+        out_i covers rows {2i, .., 2i+window-1}: the (n, 2) pair
+        reshape gives rows {2i, 2i+1}; rows {2i+k} for k>=2 are
+        contiguous shifts of the pair views."""
+        assert stride == 2
+
+        def pool1d(v, axis, size):
+            oh = -(-max(size - window, 0) // stride) + 1
+            need = (oh - 1) * stride + window
+            neg = jnp.finfo(v.dtype).min
+            pad_amt = need + (need % 2) - size
+            if pad_amt:
+                pw = [(0, 0)] * v.ndim
+                pw[axis] = (0, pad_amt)
+                v = jnp.pad(v, pw, constant_values=neg)
+            shp = list(v.shape)
+            shp[axis:axis + 1] = [shp[axis] // 2, 2]
+            pairs = v.reshape(shp)
+            evens = jax.lax.index_in_dim(pairs, 0, axis + 1, keepdims=False)
+            m = jnp.max(pairs, axis=axis + 1)
+            for k in range(2, window):
+                # row 2i+k: k even -> evens shifted k//2; k odd -> from m?
+                src = evens if k % 2 == 0 else jax.lax.index_in_dim(
+                    pairs, 1, axis + 1, keepdims=False)
+                sh = (k + 1) // 2 if k % 2 else k // 2
+                sl = [slice(None)] * src.ndim
+                sl[axis] = slice(sh, None)
+                shifted = src[tuple(sl)]
+                pw = [(0, 0)] * src.ndim
+                pw[axis] = (0, sh)
+                shifted = jnp.pad(shifted, pw, constant_values=neg)
+                m = jnp.maximum(m, shifted)
+            sl = [slice(None)] * m.ndim
+            sl[axis] = slice(0, oh)
+            return m[tuple(sl)]
+
+        x = pool1d(x, 1, x.shape[1])
+        return pool1d(x, 2, x.shape[2])
+
     for name, (shape, wnd, strd) in {**r_shapes, **o_shapes}.items():
         x = jax.random.normal(key, shape, jnp.bfloat16)
         timed(name, lambda v, w=wnd, s=strd: _ceil_pool(v, w, s), x)
         timed(name + "_slices",
               lambda v, w=wnd, s=strd: pool_slices(v, w, s), x)
+        timed(name + "_pairmax",
+              lambda v, w=wnd, s=strd: pool_pairmax(v, w, s), x)
+        # Cross-check all three variants agree (ceil pool semantics).
+        a = _ceil_pool(x, wnd, strd)
+        for alt in (pool_slices(x, wnd, strd), pool_pairmax(x, wnd, strd)):
+            assert alt.shape == a.shape, (name, alt.shape, a.shape)
+            assert bool(jnp.all(alt == a)), name
 
     for name, shape in (("r_prelu_22x28", (8192, 22, 22, 28)),
                         ("o_prelu_46x32", (4096, 46, 46, 32))):
