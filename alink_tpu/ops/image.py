@@ -522,7 +522,7 @@ def affine_warp_batch_pallas(
     border: str = "zero",
     interpret: bool = False,
     band: int = 128,
-    xblocks: int = 2,
+    xblocks: int = 1,
 ) -> jnp.ndarray:
     """Pallas TPU warp: same numerics contract as ``affine_warp_batch``.
 
@@ -592,13 +592,17 @@ def affine_warp_batch_pallas(
         band = h
         ylo = jnp.zeros((n, n_tiles), jnp.int32)
 
-    # Lane-window plan (round 4): split each row tile into ``xblocks``
+    # Lane-window option (round 4): split each row tile into ``xblocks``
     # column blocks and contract only the xwin-slice window the block's
-    # taps touch (see _warp_kernel).  xwin sizes so the window covers a
-    # block at the face-alignment scale range (source span bw*s + shear
-    # + 2 cols with 128-lane alignment slack); wider transforms ride
-    # the exact fallback per block.  Only engaged when it actually
-    # skips slices and the block geometry divides evenly.
+    # taps touch (see _warp_kernel) — the lane-dim analogue of the row
+    # band.  MEASURED NEGATIVE as a default (benchmarks/exp_warp_xwin.py,
+    # chip): xb=2 is 10-25% SLOWER than xb=1 across the alignment scale
+    # range (0.95-1.00 vs 1.08-1.24 ms/64) — the 128-lane window
+    # granularity only lets ~25% of slice work be skipped, and doubling
+    # the grid steps costs more than that.  Kept (default off) because
+    # the capability is exactness-tested and a future finer-granularity
+    # windowing could revive it.  Only engaged when it actually skips
+    # slices and the block geometry divides evenly.
     n_xb = xblocks
     xwin = 0
     if n_xb > 1:
