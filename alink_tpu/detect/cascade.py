@@ -220,7 +220,11 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
     boxes = refine_with_reg(boxes, regs)
     boxes = convert_to_square(boxes)
     boxes = jnp.round(boxes)
-    return select_topk(boxes, scores, valid, cfg.stage1_budget)
+    # Stage-boundary fence: keep the next stage's crop einsum out of
+    # this stage's decode/NMS schedule (same measured economics as the
+    # tower fences — the crop batch in-fusion cost ~3x its standalone).
+    return jax.lax.optimization_barrier(
+        select_topk(boxes, scores, valid, cfg.stage1_budget))
 
 
 def _crop_dtype():
@@ -263,7 +267,9 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
     boxes = calibrate_box(boxes, reg)  # (:426)
     boxes = convert_to_square(boxes)   # (:428)
     boxes = jnp.round(boxes)
-    return select_topk(boxes, scores, valid, cfg.stage2_budget)
+    # Stage-boundary fence (see _stage1's return).
+    return jax.lax.optimization_barrier(
+        select_topk(boxes, scores, valid, cfg.stage2_budget))
 
 
 def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
@@ -431,11 +437,12 @@ def profile_cascade(
     return {"scale_raw_max": raw, "stage1": c1, "stage2": c2, "stage3": c3}
 
 
-@partial(jax.jit, static_argnames=("output_size",))
+@partial(jax.jit, static_argnames=("output_size", "fence"))
 def align_faces(
     images: jnp.ndarray,
     landmarks: jnp.ndarray,
     output_size: tuple[int, int] = (112, 112),
+    fence: bool = True,
 ) -> jnp.ndarray:
     """Warp each detected face to the canonical ArcFace template.
 
@@ -450,6 +457,13 @@ def align_faces(
     imgs = jnp.broadcast_to(
         images[:, None], (n, k) + images.shape[1:]).reshape(
         (n * k,) + images.shape[1:])
+    # Fence the warp inputs: the kernel's XLA-side prep (transform
+    # scalars, band offsets, the image relayout) otherwise fuses into
+    # the upstream cascade schedule (in-pipeline warp measured ~0.25
+    # ms/64 over its standalone cost; same economics as the other
+    # fences).  ``fence=False`` is for A/B measurement only.
+    if fence:
+        imgs, Ms = jax.lax.optimization_barrier((imgs, Ms))
     # On TPU the warp runs as a Pallas kernel (tap weights built in VMEM;
     # HBM traffic = image read + chip write); elsewhere the XLA einsum
     # formulation.  Same numerics contract (<=1 LSB on uint8-range pixels).

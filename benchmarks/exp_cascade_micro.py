@@ -125,15 +125,18 @@ def main():
         if stop == "s1_gnms":
             return jnp.mean(valid.astype(jnp.float32)) + jnp.mean(boxes)
         boxes = jnp.round(convert_to_square(refine_with_reg(boxes, regs)))
-        b, s, v = select_topk(boxes, scores, valid, cfg.stage1_budget)
+        b, s, v = jax.lax.optimization_barrier(
+            select_topk(boxes, scores, valid, cfg.stage1_budget))
         if stop == "s1_select":
             return jnp.mean(b) + jnp.mean(s)
         # --- stage 2 internals ---
-        crops = crop_and_resize(img, b, (24, 24), compute_dtype=_crop_dtype())
+        crops = crop_and_resize(img, b, (24, 24), compute_dtype=_crop_dtype(),
+                                out_dtype=_crop_dtype())
         if stop == "s2_crop":
             return jnp.mean(crops.astype(jnp.float32)) + jnp.mean(b)
         b = clip_to_image(b, w, h)
-        prob, reg = _RNET.apply(cparams.rnet, preprocess.mtcnn(crops))
+        from alink_tpu.detect.cascade import _fenced_tower
+        prob, reg = _fenced_tower(_RNET, cparams.rnet, crops)
         if stop == "s2_rnet":
             return jnp.mean(prob) + jnp.mean(b)
         s = prob[:, 1]
@@ -142,15 +145,17 @@ def main():
         if stop == "s2_nms":
             return jnp.mean(v.astype(jnp.float32)) + jnp.mean(reg)
         b = jnp.round(convert_to_square(calibrate_box(b, reg)))
-        b, s, v = select_topk(b, s, v, cfg.stage2_budget)
+        b, s, v = jax.lax.optimization_barrier(
+            select_topk(b, s, v, cfg.stage2_budget))
         if stop == "s2_select":
             return jnp.mean(b) + jnp.mean(s)
         # --- stage 3 internals ---
-        crops = crop_and_resize(img, b, (48, 48), compute_dtype=_crop_dtype())
+        crops = crop_and_resize(img, b, (48, 48), compute_dtype=_crop_dtype(),
+                                out_dtype=_crop_dtype())
         if stop == "s3_crop":
             return jnp.mean(crops.astype(jnp.float32)) + jnp.mean(b)
         b = clip_to_image(b, w, h)
-        prob, reg, lmk10 = _ONET.apply(cparams.onet, preprocess.mtcnn(crops))
+        prob, reg, lmk10 = _fenced_tower(_ONET, cparams.onet, crops)
         if stop == "s3_onet":
             return jnp.mean(prob) + jnp.mean(b)
         s = prob[:, 1]
