@@ -18,15 +18,40 @@ import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Full-suite memory-map headroom: one pytest process compiles several
+# hundred XLA CPU executables, and the process's memory-map count grows
+# past the default vm.max_map_count (65530) about two thirds through the
+# suite — at which point an mmap inside XLA's compiler fails and the
+# process segfaults (reproduced deterministically at the same test,
+# cache on or off; every file-level subset passes because it stays
+# under the ceiling; /proc/<pid>/maps sampling showed the climb).
+# Raise the ceiling when we can (root container); harmless no-op
+# otherwise — non-root boxes should `sysctl -w vm.max_map_count=262144`
+# or shard the suite across processes (pytest-xdist).
+def _ensure_map_headroom(target: int = 262144) -> None:
+    knob = pathlib.Path("/proc/sys/vm/max_map_count")
+    try:
+        if int(knob.read_text()) < target:
+            knob.write_text(str(target))
+    except (OSError, ValueError):
+        pass
+
+
+_ensure_map_headroom()
 # bfloat16 matmuls on CPU are emulated and slow; tests use float32 precision.
 jax.config.update("jax_default_matmul_precision", "float32")
 # Persistent compile cache: the suite's wall clock is dominated by XLA
 # compiles on this box's single CPU core (30+ min cold); cached repeats
-# of unchanged programs bring the fast lane under the 5-minute claim.
-# Keyed by HLO hash, so code changes recompile exactly what changed.
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_test_cache"
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# of unchanged programs roughly halve it.  Keyed by HLO hash, so code
+# changes recompile exactly what changed.  ALINK_TEST_NO_COMPILE_CACHE=1
+# disables it (debugging aid for cache-interaction suspects).
+import os
+
+if not os.environ.get("ALINK_TEST_NO_COMPILE_CACHE"):
+    _cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_test_cache"
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")
