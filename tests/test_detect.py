@@ -116,6 +116,36 @@ class TestAlign:
             atol=1.0,
         )
 
+    def test_warp_input_fence_is_semantics_neutral(self):
+        """The optimization_barrier on the warp inputs (round-4 fence)
+        must not change a single output bit — fence=False exists only
+        for A/B measurement (benchmarks/exp_align_fence.py)."""
+        template = np.asarray(arcface_template((112, 112)))
+        img = jax.random.uniform(jax.random.PRNGKey(7), (2, 112, 112, 3),
+                                 jnp.float32, 0, 255)
+        lmk = jnp.asarray(template + [3.0, -2.0])[None, None].repeat(2, 0)
+        fenced = align_faces(img, lmk, (112, 112), fence=True)
+        bare = align_faces(img, lmk, (112, 112), fence=False)
+        np.testing.assert_array_equal(np.asarray(fenced), np.asarray(bare))
+
+
+class TestBenchGeometryInit:
+    def test_landmark_head_seeded_at_mean_face_prior(self, cascade):
+        """init_cascade_params seeds the O-Net landmark head at the MTCNN
+        mean-face template with a tiny kernel (round 4): random-weight
+        pipelines must exercise production alignment geometry, not the
+        degenerate Umeyama fits ~N(0,1) landmarks produce."""
+        from alink_tpu.detect.cascade import _MEAN_FACE
+
+        head = cascade.onet["params"]["Dense_3"]
+        np.testing.assert_allclose(np.asarray(head["bias"]),
+                                   np.asarray(_MEAN_FACE), atol=1e-6)
+        # Tiny kernel: landmark outputs stay near the prior.
+        assert float(jnp.abs(head["kernel"]).max()) < 0.05
+        # Mean-face x coordinates are symmetric-ish pairs inside the box.
+        mf = np.asarray(_MEAN_FACE)
+        assert ((0.0 < mf) & (mf < 1.0)).all()
+
 
 class TestFaceModel:
     @pytest.fixture(scope="class")

@@ -118,6 +118,43 @@ def test_nms_large_budget_blocked_path(mode, k):
     assert not keep[~valid].any()
 
 
+@pytest.mark.parametrize("unroll", [1, 2, 4, 9])
+def test_nms_unroll_invariant(unroll):
+    """The unroll knob (Jacobi sub-steps per convergence check) is a
+    pure scheduling choice — exact for any value because the update is
+    idempotent past the fixed point (ops/nms.py)."""
+    rng = np.random.default_rng(11)
+    k = 96
+    xy = rng.uniform(0, 70, size=(k, 2))
+    wh = rng.uniform(6, 45, size=(k, 2))
+    b = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    s = rng.uniform(0, 1, size=k).astype(np.float32)
+    valid = rng.random(k) > 0.1
+    want = _greedy_nms_reference(b[valid], s[valid], 0.5, "union")
+    keep = np.asarray(nmsops.nms(jnp.asarray(b), jnp.asarray(s),
+                                 jnp.asarray(valid), 0.5, unroll=unroll))
+    vidx = np.where(valid)[0]
+    assert sorted(np.where(keep)[0].tolist()) == sorted(
+        vidx[want].tolist())
+
+
+def test_crop_and_resize_out_dtype_skips_round_trip():
+    """out_dtype=bfloat16 (round 4: the crop batch feeds bf16 towers
+    directly) must equal the f32 output cast to bf16 — same einsum,
+    just no f32 materialisation in between."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (40, 40, 3)).astype(np.float32))
+    boxes = jnp.asarray([[2.0, 3.0, 25.0, 30.0], [-4.0, 0.0, 19.0, 19.0],
+                         [10.0, 10.0, 39.0, 39.0]])
+    f32 = imops.crop_and_resize(img, boxes, (24, 24))
+    bf16 = imops.crop_and_resize(img, boxes, (24, 24),
+                                 out_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(bf16, dtype=np.float32))
+
+
 def test_nms_respects_validity_mask():
     b = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
     s = jnp.array([0.9, 0.8])
