@@ -78,6 +78,10 @@ class CascadeConfig:
     stage3_budget: int = 64
     accurate_landmark: bool = False  # L-Net refine (mtcnn_detector.py:478)
     output_size: tuple[int, int] = (112, 112)
+    # Crop/tower intermediate dtype: "auto" = bf16 on TPU, f32 elsewhere;
+    # "bfloat16"/"float32" force it (forcing bf16 on CPU is how the TPU
+    # numeric path gets oracle coverage — tests/test_cascade_bf16.py).
+    crop_dtype: str = "auto"
 
     @staticmethod
     def typical(**overrides) -> "CascadeConfig":
@@ -227,11 +231,18 @@ def _stage1(params, img, cfg: CascadeConfig, h: int, w: int):
         select_topk(boxes, scores, valid, cfg.stage1_budget))
 
 
-def _crop_dtype():
-    """bf16 crop intermediates on TPU (<=1 LSB on uint8-range pixels, and
-    the crops feed bf16 conv towers anyway); full f32 elsewhere —
-    evaluated at trace time so the CPU test backend stays fast/exact."""
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+def _crop_dtype(cfg: CascadeConfig):
+    """Crop intermediate dtype: bf16 on TPU (the crops feed bf16 conv
+    towers anyway; the mtcnn centering is folded into the crop's f32
+    accumulator BEFORE the cast, so the bf16 values live in [-1, 1]
+    with ~2^-9 spacing — <0.01 pixel LSB of cast error), full f32
+    elsewhere.  Evaluated at trace time so the CPU test backend stays
+    fast/exact; ``cfg.crop_dtype`` overrides for differential tests."""
+    if cfg.crop_dtype == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    if cfg.crop_dtype in ("float32", "none"):
+        return None
+    return jnp.dtype(cfg.crop_dtype)
 
 
 def _fenced_tower(net, params, crops):
@@ -245,10 +256,13 @@ def _fenced_tower(net, params, crops):
     align→embed fence in FaceModel._best_chips).  Barriers on the
     tower's inputs and outputs keep its schedule clean.  The crops
     stay in the tower compute dtype end-to-end (the f32 round trip of
-    the crop batch is skipped, out_dtype in crop_and_resize).
+    the crop batch is skipped, out_dtype in crop_and_resize) and
+    arrive ALREADY mtcnn-preprocessed — the (x - 127.5) * 0.0078125
+    centering is folded into the crop's f32 accumulator upstream of
+    any bf16 cast (see crop_and_resize's offset/scale).
     """
     crops = jax.lax.optimization_barrier(crops)
-    out = net.apply(params, preprocess.mtcnn(crops))
+    out = net.apply(params, crops)
     return jax.lax.optimization_barrier(out)
 
 
@@ -257,8 +271,9 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
     # computed before its in-place clamp, mtcnn_detector.py:148-151);
     # everything downstream sees the clipped boxes (see clip_to_image).
     crops = crop_and_resize(img, boxes, (24, 24),
-                            compute_dtype=_crop_dtype(),
-                            out_dtype=_crop_dtype())
+                            compute_dtype=_crop_dtype(cfg),
+                            out_dtype=_crop_dtype(cfg),
+                            offset=127.5, scale=0.0078125)
     boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
     prob, reg = _fenced_tower(_RNET, params.rnet, crops)
     scores = prob[:, 1]
@@ -274,8 +289,9 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
 
 def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
     crops = crop_and_resize(img, boxes, (48, 48),
-                            compute_dtype=_crop_dtype(),
-                            out_dtype=_crop_dtype())
+                            compute_dtype=_crop_dtype(cfg),
+                            out_dtype=_crop_dtype(cfg),
+                            offset=127.5, scale=0.0078125)
     # pad()'s in-place clamp again: landmark decode and calibration both
     # read the clipped squares (mtcnn_detector.py:441, 457-466).
     boxes = clip_to_image(boxes, img.shape[1], img.shape[0])

@@ -654,6 +654,8 @@ def crop_and_resize(
     out_size: tuple[int, int],
     compute_dtype=None,
     out_dtype=None,
+    offset: float | None = None,
+    scale: float | None = None,
 ) -> jnp.ndarray:
     """Crop integer boxes [x1, y1, x2, y2] (inclusive, reference convention
     width = x2 - x1 + 1) from one HWC image and resize each to ``out_size``.
@@ -702,6 +704,17 @@ def crop_and_resize(
                       preferred_element_type=jnp.float32)
     out = jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
                      preferred_element_type=jnp.float32)
+    # Optional fused affine post-transform ``(out - offset) * scale``,
+    # applied on the f32 accumulator BEFORE the out_dtype cast.  This is
+    # how the cascade folds preprocess.mtcnn's centering into the crop:
+    # casting raw uint8-range pixels to bf16 quantises mid-gray values
+    # (~128) at ~1.0 spacing, but the centered-and-scaled values live in
+    # [-1, 1] where bf16 spacing is ~2^-9 — the cast loses <0.01 pixel
+    # LSB instead of up to 0.5.
+    if offset is not None:
+        out = out - jnp.float32(offset)
+    if scale is not None:
+        out = out * jnp.float32(scale)
     if out_dtype is not None:
         return out.astype(out_dtype)
     return _cast_like(out, img.dtype)

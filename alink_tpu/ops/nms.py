@@ -62,7 +62,10 @@ def nms(
         threshold: overlap threshold (suppress if overlap > threshold).
         mode: "union" (IoU) or "min" (helper.py:58-61).
         unroll: Jacobi sub-steps per while-loop convergence check;
-            default picks by budget size (see below).
+            default picks by budget size (see below).  Applies only to
+            the K < 256 path — budgets of 256+ route to the blocked
+            kernel, whose inner loop is fixed at 3 sub-steps (measured
+            best at its block size of 128).
 
     Returns:
         (K,) bool keep-mask aligned with the input order.
@@ -138,12 +141,16 @@ def _nms_blocked(boxes, scores, valid, threshold, mode,
     candidates, so finalising in sorted block order is the greedy
     recurrence itself; the within-block fixed point is the same Jacobi
     argument as the small-budget path.  Tie order among exactly-equal
-    scores follows the descending sort (unspecified in the reference —
+    scores is lower-original-index-first — the stable ascending argsort
+    on negated scores preserves input order within a tie group — which
+    matches the small-budget path's lexicographic (score, -index)
+    dominance, so a budget change crossing K = 256 cannot flip results
+    on duplicate scores (the reference's own tie order is unspecified:
     np.argsort quicksort, helper.py:39).
     """
     k = boxes.shape[0]
-    neg = jnp.finfo(scores.dtype).min
-    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]
+    key = jnp.where(valid, -scores, jnp.finfo(scores.dtype).max)
+    order = jnp.argsort(key)
     sboxes = boxes[order]
     svalid = valid[order]
     overlap = iou_matrix(sboxes, mode=mode)

@@ -30,10 +30,26 @@ jax.config.update("jax_num_cpu_devices", 8)
 # otherwise — non-root boxes should `sysctl -w vm.max_map_count=262144`
 # or shard the suite across processes (pytest-xdist).
 def _ensure_map_headroom(target: int = 262144) -> None:
+    # NOTE: this is a system-wide, persistent sysctl change (root only).
+    # It is required for the full one-process suite, so it stays on by
+    # default, but it announces itself and honours an opt-out for hosts
+    # where mutating kernel knobs from a test run is unacceptable.
+    import os
+    import sys
+
+    if os.environ.get("ALINK_TEST_NO_SYSCTL"):
+        return
     knob = pathlib.Path("/proc/sys/vm/max_map_count")
     try:
-        if int(knob.read_text()) < target:
+        current = int(knob.read_text())
+        if current < target:
             knob.write_text(str(target))
+            print(
+                f"[conftest] raised vm.max_map_count {current} -> {target} "
+                "(system-wide, persists until reboot; set "
+                "ALINK_TEST_NO_SYSCTL=1 to forbid)",
+                file=sys.stderr,
+            )
     except (OSError, ValueError):
         pass
 

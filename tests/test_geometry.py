@@ -138,6 +138,34 @@ def test_nms_unroll_invariant(unroll):
         vidx[want].tolist())
 
 
+@pytest.mark.parametrize("mode", ["union", "min"])
+def test_nms_tie_break_consistent_across_paths(mode):
+    """Exactly-equal scores must resolve identically on the K < 256
+    Jacobi path and the K >= 256 blocked path (ADVICE r4): both prefer
+    the LOWER original index, so a budget change crossing 256 cannot
+    flip keep-masks on duplicate scores.  Construct heavy score ties
+    over overlapping boxes, run the same candidates at K = 96 and
+    padded (invalid) to K = 512, and demand identical keep-masks."""
+    rng = np.random.default_rng(7)
+    k = 96
+    xy = rng.uniform(0, 50, size=(k, 2))
+    wh = rng.uniform(10, 45, size=(k, 2))
+    b = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    # Only 4 distinct score values -> many exact ties among overlaps.
+    s = rng.choice([0.2, 0.4, 0.6, 0.8], size=k).astype(np.float32)
+    valid = np.ones(k, bool)
+    keep_small = np.asarray(nmsops.nms(jnp.asarray(b), jnp.asarray(s),
+                                       jnp.asarray(valid), 0.5, mode=mode))
+    pad = 512 - k
+    bp = np.concatenate([b, np.zeros((pad, 4), np.float32)])
+    sp = np.concatenate([s, np.zeros(pad, np.float32)])
+    vp = np.concatenate([valid, np.zeros(pad, bool)])
+    keep_big = np.asarray(nmsops.nms(jnp.asarray(bp), jnp.asarray(sp),
+                                     jnp.asarray(vp), 0.5, mode=mode))
+    np.testing.assert_array_equal(keep_small, keep_big[:k])
+    assert not keep_big[k:].any()
+
+
 def test_crop_and_resize_out_dtype_skips_round_trip():
     """out_dtype=bfloat16 (round 4: the crop batch feeds bf16 towers
     directly) must equal the f32 output cast to bf16 — same einsum,
