@@ -47,7 +47,8 @@ from alink_tpu.ops.boxes import (
     select_topk,
 )
 from alink_tpu.ops.image import (affine_warp_batch, affine_warp_batch_pallas,
-                                 crop_and_resize, resize)
+                                 crop_and_resize, crop_and_resize_gather,
+                                 resize)
 from alink_tpu.ops.nms import nms, nms_batch
 from alink_tpu.ops.umeyama import arcface_template, umeyama
 
@@ -82,6 +83,12 @@ class CascadeConfig:
     # "bfloat16"/"float32" force it (forcing bf16 on CPU is how the TPU
     # numeric path gets oracle coverage — tests/test_cascade_bf16.py).
     crop_dtype: str = "auto"
+    # Aggregate cross-image candidate budgets (the ``crowd()`` profile).
+    # 0 = off (per-image budgets only, the lossless contract).  Nonzero:
+    # stage 2/3 crops+towers run on the top-``stage*_total`` candidates
+    # BY SCORE POOLED ACROSS THE BATCH — LOSSY BY CONTRACT (see crowd()).
+    stage2_total: int = 0
+    stage3_total: int = 0
 
     @staticmethod
     def typical(**overrides) -> "CascadeConfig":
@@ -100,6 +107,37 @@ class CascadeConfig:
         """Lossless budgets for dense scenes (many faces per image)."""
         kw = dict(stage1_scale_budget=128, stage1_budget=256,
                   stage2_budget=128, stage3_budget=64)
+        kw.update(overrides)
+        return CascadeConfig(**kw)
+
+    @staticmethod
+    def crowd(**overrides) -> "CascadeConfig":
+        """Aggregate cross-image budgets for dense crowd batches —
+        LOSSY BY CONTRACT, unlike ``worst_case()``'s lossless one.
+
+        ``worst_case`` pays per-image worst-case budgets on EVERY image:
+        a 64-image batch runs 16,384 R-Net and 8,192 O-Net crops even
+        when the batch's real candidate mass sits in a few crowded
+        frames.  This profile pools stage-2/3 budgets across the batch
+        instead: the top ``stage2_total``/``stage3_total`` candidates by
+        score (across all images) get crops+towers; each image is then
+        capped at ``stage2_budget``/``stage3_budget`` survivors (the
+        scatter cap).  Two documented loss modes: (1) a batch whose
+        total candidate mass exceeds the pooled budget drops its
+        globally lowest-scoring candidates; (2) a single image denser
+        than the per-image cap keeps only its top-cap survivors — the
+        same cap ``worst_case`` has.  Within budget, results are
+        identical to the lossless path (oracle-tested,
+        tests/test_crowd.py).
+
+        Defaults price the pooled budgets at 1/4 (stage 2) and 1/2
+        (stage 3) of worst_case's per-image totals for a 64-image batch;
+        scale ``stage2_total``/``stage3_total`` with the deployment's
+        batch size and crowd density.
+        """
+        kw = dict(stage1_scale_budget=128, stage1_budget=256,
+                  stage2_budget=128, stage3_budget=64,
+                  stage2_total=4096, stage3_total=4096)
         kw.update(overrides)
         return CascadeConfig(**kw)
 
@@ -266,17 +304,10 @@ def _fenced_tower(net, params, crops):
     return jax.lax.optimization_barrier(out)
 
 
-def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
-    # Crop geometry keeps the unclipped extent (pad()'s tmpw/tmph are
-    # computed before its in-place clamp, mtcnn_detector.py:148-151);
-    # everything downstream sees the clipped boxes (see clip_to_image).
-    crops = crop_and_resize(img, boxes, (24, 24),
-                            compute_dtype=_crop_dtype(cfg),
-                            out_dtype=_crop_dtype(cfg),
-                            offset=127.5, scale=0.0078125)
-    boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
-    prob, reg = _fenced_tower(_RNET, params.rnet, crops)
-    scores = prob[:, 1]
+def _stage2_tail(boxes, scores, valid, reg, cfg: CascadeConfig):
+    """Per-image post-tower stage 2: threshold, NMS, calibrate, square
+    (mtcnn_detector.py:418-428).  ``boxes`` are the clipped squares;
+    ``scores`` the R-Net face probabilities."""
     valid = valid & (scores > cfg.thresholds[1])  # (:418)
     valid = valid & nms(boxes, scores, valid, 0.7)  # (:424)
     boxes = calibrate_box(boxes, reg)  # (:426)
@@ -287,16 +318,23 @@ def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
         select_topk(boxes, scores, valid, cfg.stage2_budget))
 
 
-def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
-    crops = crop_and_resize(img, boxes, (48, 48),
+def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
+    # Crop geometry keeps the unclipped extent (pad()'s tmpw/tmph are
+    # computed before its in-place clamp, mtcnn_detector.py:148-151);
+    # everything downstream sees the clipped boxes (see clip_to_image).
+    crops = crop_and_resize(img, boxes, (24, 24),
                             compute_dtype=_crop_dtype(cfg),
                             out_dtype=_crop_dtype(cfg),
                             offset=127.5, scale=0.0078125)
-    # pad()'s in-place clamp again: landmark decode and calibration both
-    # read the clipped squares (mtcnn_detector.py:441, 457-466).
     boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
-    prob, reg, lmk = _fenced_tower(_ONET, params.onet, crops)
-    scores = prob[:, 1]
+    prob, reg = _fenced_tower(_RNET, params.rnet, crops)
+    return _stage2_tail(boxes, prob[:, 1], valid, reg, cfg)
+
+
+def _stage3_tail(boxes, scores, valid, reg, lmk, cfg: CascadeConfig):
+    """Per-image post-tower stage 3: threshold, landmark decode from the
+    pre-calibration squares, calibrate, Min-mode NMS
+    (mtcnn_detector.py:451-468)."""
     valid = valid & (scores > cfg.thresholds[2])  # (:451)
     # Landmarks decode from the pre-calibration squares
     # (mtcnn_detector.py:457-464): x = x1 + lx * w, y = y1 + ly * h.
@@ -311,6 +349,136 @@ def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
         boxes, scores, valid, cfg.stage3_budget, landmarks
     )
     return boxes, scores, valid, landmarks
+
+
+def _stage3(params, img, boxes, scores, valid, cfg: CascadeConfig):
+    crops = crop_and_resize(img, boxes, (48, 48),
+                            compute_dtype=_crop_dtype(cfg),
+                            out_dtype=_crop_dtype(cfg),
+                            offset=127.5, scale=0.0078125)
+    # pad()'s in-place clamp again: landmark decode and calibration both
+    # read the clipped squares (mtcnn_detector.py:441, 457-466).
+    boxes = clip_to_image(boxes, img.shape[1], img.shape[0])
+    prob, reg, lmk = _fenced_tower(_ONET, params.onet, crops)
+    return _stage3_tail(boxes, prob[:, 1], valid, reg, lmk, cfg)
+
+
+def _pool_by_score(scores_flat, valid_flat, n, k, total):
+    """Top-``total`` candidates by score across the flat (n*k) batch.
+
+    Returns (flat_idx, img_id, valid), all (total,), sorted by
+    (image, -score): jax.lax.top_k emits descending scores and
+    jnp.argsort is stable, so a sort on img_id alone preserves the
+    score order within each image — exactly the order the scatter's
+    per-image slot ranking needs, and the order that makes the crop
+    gather's image rows HBM-contiguous runs.  Invalid slots sort last
+    (img_id pinned to n).
+    """
+    masked = jnp.where(valid_flat, scores_flat, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, total)
+    tvalid = top > -jnp.inf
+    img_id = jnp.where(tvalid, idx // k, n)
+    order = jnp.argsort(img_id)
+    return idx[order], img_id[order], tvalid[order]
+
+
+def _scatter_per_image(img_id, tvalid, n, cap, *arrays):
+    """Scatter pooled candidates back into per-image (n, cap) slots.
+
+    Candidates arrive sorted by (image, -score) with ``img_id`` in
+    [0, n] (n = invalid); each image's valid candidates fill slots
+    0..cap-1 in score order, surplus beyond ``cap`` is dropped (the
+    crowd profile's documented per-image cap).  Returns (arrays
+    scattered to (n, cap, ...), valid mask (n, cap)).
+    """
+    t = img_id.shape[0]
+    # Rank among the image's VALID candidates: a segment cumsum — dead
+    # (below-threshold) candidates must not burn cap slots.
+    cumv = jnp.cumsum(tvalid.astype(jnp.int32))
+    padded = jnp.concatenate([jnp.zeros(1, jnp.int32), cumv])
+    first = jnp.searchsorted(img_id, jnp.arange(n))     # (n,)
+    base = padded[first]                                # valid before image
+    iid = jnp.clip(img_id, 0, n - 1)
+    slot = cumv - 1 - base[iid]
+    keep = tvalid & (slot < cap) & (img_id < n)
+    sl = jnp.where(keep, slot, cap)                     # overflow column
+    outs = []
+    for a in arrays:
+        o = jnp.zeros((n, cap + 1) + a.shape[1:], a.dtype)
+        outs.append(o.at[iid, sl].set(a)[:, :cap])
+    vmask = jnp.zeros((n, cap + 1), bool).at[iid, sl].set(keep)[:, :cap]
+    return tuple(outs), vmask
+
+
+def _detect_faces_crowd(params, images, cfg: CascadeConfig):
+    """Aggregate-budget cascade (the ``crowd()`` profile).
+
+    Stage 1 runs per-image exactly as the lossless path (its cost is
+    per-image by construction — the pyramid reads every pixel).  Stages
+    2 and 3 pool: the top-``stage*_total`` candidates by score across
+    the whole batch get crops (``crop_and_resize_gather``) and ONE
+    tower pass, then scatter back to per-image slots where the
+    reference's per-image tail (threshold/NMS/calibrate, which MUST be
+    per-image — boxes of different images never suppress each other)
+    runs vmapped as usual.  Reference bar: the per-image Python loop of
+    mtcnn_detector.py:401-470, which has no batch dimension at all.
+    """
+    h, w = images.shape[1], images.shape[2]
+    n = images.shape[0]
+    cdt = _crop_dtype(cfg)
+
+    b1, s1, v1 = jax.vmap(
+        lambda im: _stage1(params, im, cfg, h, w))(images)
+
+    # ---- stage 2, pooled --------------------------------------------
+    k1 = b1.shape[1]
+    t2 = min(cfg.stage2_total or n * k1, n * k1)
+    idx2, iid2, tv2 = _pool_by_score(
+        s1.reshape(-1), v1.reshape(-1), n, k1, t2)
+    bx2 = b1.reshape(-1, 4)[idx2]
+    crops2 = crop_and_resize_gather(images, bx2, iid2, (24, 24),
+                                    compute_dtype=cdt, out_dtype=cdt,
+                                    offset=127.5, scale=0.0078125)
+    bx2 = clip_to_image(bx2, w, h)
+    prob2, reg2 = _fenced_tower(_RNET, params.rnet, crops2)
+    sc2 = prob2[:, 1]
+    tv2 = tv2 & (sc2 > cfg.thresholds[1])
+    # Scatter cap = stage1_budget (the lossless path's pre-NMS width):
+    # the per-image stage2_budget applies AFTER NMS (select_topk in the
+    # tail), exactly as the lossless path — capping before NMS would
+    # change which survivors the suppression leaves.
+    (sb, ss, sr), sv = _scatter_per_image(
+        iid2, tv2, n, cfg.stage1_budget, bx2, sc2, reg2)
+    b2, s2, v2 = jax.vmap(
+        lambda b, s, v, r: _stage2_tail(b, s, v, r, cfg))(sb, ss, sv, sr)
+
+    # ---- stage 3, pooled --------------------------------------------
+    k2 = b2.shape[1]
+    t3 = min(cfg.stage3_total or n * k2, n * k2)
+    idx3, iid3, tv3 = _pool_by_score(
+        s2.reshape(-1), v2.reshape(-1), n, k2, t3)
+    bx3 = b2.reshape(-1, 4)[idx3]
+    crops3 = crop_and_resize_gather(images, bx3, iid3, (48, 48),
+                                    compute_dtype=cdt, out_dtype=cdt,
+                                    offset=127.5, scale=0.0078125)
+    bx3 = clip_to_image(bx3, w, h)
+    prob3, reg3, lmk3 = _fenced_tower(_ONET, params.onet, crops3)
+    sc3 = prob3[:, 1]
+    tv3 = tv3 & (sc3 > cfg.thresholds[2])
+    (tb, ts, tr, tl), tv = _scatter_per_image(
+        iid3, tv3, n, cfg.stage2_budget, bx3, sc3, reg3, lmk3)
+    boxes, scores, valid, landmarks = jax.vmap(
+        lambda b, s, v, r, l: _stage3_tail(b, s, v, r, l, cfg))(
+        tb, ts, tv, tr, tl)
+
+    if cfg.accurate_landmark:
+        if params.lnet is None:
+            raise ValueError("accurate_landmark requires lnet params")
+        landmarks = jax.vmap(
+            lambda im, b, l: _refine_landmarks(params, im, b, l))(
+            images, boxes, landmarks)
+    return Detections(boxes=boxes, scores=scores, landmarks=landmarks,
+                      valid=valid)
 
 
 def _refine_landmarks(params, img, boxes, landmarks):
@@ -358,6 +526,8 @@ def detect_faces(
     cfg: CascadeConfig = CascadeConfig(),
 ) -> Detections:
     """Run the full cascade over an (N, H, W, 3) raw-RGB batch."""
+    if cfg.stage2_total or cfg.stage3_total:
+        return _detect_faces_crowd(params, images, cfg)
     h, w = images.shape[1], images.shape[2]
 
     def single(img):

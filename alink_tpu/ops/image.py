@@ -514,7 +514,7 @@ def _xband_offsets(Ainv, bvec, out_size, rows_per_tile, n_xb, xwin,
 
 @partial(jax.jit,
          static_argnames=("out_size", "border", "interpret", "band",
-                          "xblocks"))
+                          "xblocks", "xwin"))
 def affine_warp_batch_pallas(
     imgs: jnp.ndarray,
     Ms: jnp.ndarray,
@@ -522,7 +522,8 @@ def affine_warp_batch_pallas(
     border: str = "zero",
     interpret: bool = False,
     band: int = 128,
-    xblocks: int = 1,
+    xblocks: int = 0,
+    xwin: int = 0,
 ) -> jnp.ndarray:
     """Pallas TPU warp: same numerics contract as ``affine_warp_batch``.
 
@@ -573,6 +574,67 @@ def affine_warp_batch_pallas(
             if 2 * d >= rows_per_tile:
                 rows_per_tile = d
             break
+
+    # Lane-window option (round 4, generalised round 5): split each row
+    # tile into ``xblocks`` column blocks and contract only the
+    # ``xwin``-slice window the block's taps touch (see _warp_kernel) —
+    # the lane-dim analogue of the row band.  Round 4 hardcoded
+    # xwin = total_slices - 1 (only ever skipping ONE slice), which at
+    # xblocks=2 measured a wash (benchmarks/exp_warp_xwin.py: the 25%
+    # slice skip lost to the doubled grid).  ``xwin`` is now explicit:
+    # narrow column blocks (e.g. xblocks=7 -> bw=16 at out_w=112, tap
+    # span <=25 source cols = 75 lanes) fit a 2-slice window, skipping
+    # HALF the per-slice work (H-dots AND weight builds) of a 4-slice
+    # source.  A window covers lane spans up to xwin*128 - 127 (the
+    # 128-alignment slack), so xwin >= 2 is the useful minimum; any
+    # tile whose taps overflow the window falls back to the exact
+    # full pass (xlo = -1), so the choice is performance-only.
+    # ``rows_per_tile`` is re-picked so tp = rows*bw stays a multiple
+    # of 128 (the out-block lane dim), minimising padded output rows,
+    # capped at band/2 rows so the y-band keeps headroom for taps.
+    #
+    # DEFAULT ON for alignment-shaped warps (round 5, measured:
+    # benchmarks/exp_warp_xwin.py — bw=16/xwin=2 is ~15% faster on
+    # mixed alignment transforms and ~35% on frame-filling faces than
+    # the unwindowed kernel, and within noise on extreme downscales
+    # where the window barely fits): small outputs whose width splits
+    # into 16-px column blocks over a 3+-slice source engage
+    # (out_w/16, 2) automatically.  A tap span that overflows the
+    # 129-lane window only costs the exact per-tile fallback.
+    # ``xblocks=0`` = auto (the default); ``1`` = explicitly unwindowed
+    # (A/B probes); ``>1`` = explicit block count.
+    n_xb = xblocks
+    if n_xb == 0:
+        if (xwin == 0 and out_w % 16 == 0 and out_w <= 256
+                and wcn // 128 >= 3):
+            n_xb = out_w // 16
+            xwin = 2
+        else:
+            n_xb = 1
+    xw = 0
+    if n_xb > 1 and out_w % n_xb == 0:
+        import math as _math
+
+        total_slices = wcn // 128
+        bw = out_w // n_xb
+        want = xwin if xwin else total_slices - 1
+        if 2 <= want < total_slices:
+            g = 128 // _math.gcd(bw, 128)
+            cap = min(out_h, max(g, band // 2))
+            cand = [r for r in range(g, cap + 1, g) if r * bw <= tile_px]
+            if cand:
+                rows_per_tile = min(
+                    cand, key=lambda r: (-(-out_h // r) * r - out_h, -r))
+                xw = want
+            else:
+                n_xb = 1
+        else:
+            n_xb = 1
+    else:
+        n_xb = 1
+    if xw == 0:
+        n_xb = 1
+
     n_tiles = -(-out_h // rows_per_tile)
     tp = rows_per_tile * out_w
 
@@ -592,38 +654,16 @@ def affine_warp_batch_pallas(
         band = h
         ylo = jnp.zeros((n, n_tiles), jnp.int32)
 
-    # Lane-window option (round 4): split each row tile into ``xblocks``
-    # column blocks and contract only the xwin-slice window the block's
-    # taps touch (see _warp_kernel) — the lane-dim analogue of the row
-    # band.  MEASURED NEGATIVE as a default (benchmarks/exp_warp_xwin.py,
-    # chip): xb=2 is 10-25% SLOWER than xb=1 across the alignment scale
-    # range (0.95-1.00 vs 1.08-1.24 ms/64) — the 128-lane window
-    # granularity only lets ~25% of slice work be skipped, and doubling
-    # the grid steps costs more than that.  Kept (default off) because
-    # the capability is exactness-tested and a future finer-granularity
-    # windowing could revive it.  Only engaged when it actually skips
-    # slices and the block geometry divides evenly.
-    n_xb = xblocks
-    xwin = 0
-    if n_xb > 1:
-        total_slices = wcn // 128
-        xwin = total_slices - 1
-        # xwin must skip work AND give the window real coverage (an
-        # xwin-slice window minus the 128-lane alignment slack covers
-        # spans of xwin*128 - 127 lanes — useless at xwin 1).
-        if (out_w % n_xb or rows_per_tile * (out_w // n_xb) % 128
-                or xwin < 2):
-            n_xb = 1
     if n_xb > 1:
         xlo = _xband_offsets(Ainv, bvec, out_size, rows_per_tile,
-                             n_xb, xwin, w, c, wcn, border)
+                             n_xb, xw, w, c, wcn, border)
     else:
         xlo = jnp.zeros((n, n_tiles * n_xb), jnp.int32)
     cpad = 8
     out = _banded_warp_call(imgsn, scal, ylo, xlo, out_size=out_size,
                             band=band, rows_per_tile=rows_per_tile,
                             h=h, w=w, c=c, cpad=cpad, border=border,
-                            interpret=interpret, n_xb=n_xb, xwin=xwin)
+                            interpret=interpret, n_xb=n_xb, xwin=xw)
     # (n, cpad, P) lane-packed -> NHWC: the slice+transpose reads/writes
     # only the logical bytes (XLA relayout, measured ~0.007 ms/64
     # standalone) — vs ~1.1 ms/64 the kernel paid to store a (P, 8)
@@ -646,6 +686,53 @@ def affine_warp(
 ) -> jnp.ndarray:
     """Single-image ``affine_warp_batch`` (cv2.warpAffine equivalent)."""
     return affine_warp_batch(img[None], M[None], out_size, border=border)[0]
+
+
+def _crop_weights(boxes, out_size, h, w):
+    """Per-box separable bilinear interpolation matrices.
+
+    Returns wy (K, out_h, H) and wx (K, out_w, W) f32 tap weights with
+    cv2-style half-pixel sample grids, coordinates clamped INTO the box:
+    when the box is smaller than out_size (upscale, e.g. 20 px P-Net
+    boxes -> 24x24 R-Net crops) the half-pixel grid extends past the box
+    edge, and the reference's crop-then-cv2.resize replicates the crop's
+    own border row there — it never reads image pixels outside the box.
+    For downscale the grid already stays inside, so the clamp is a no-op.
+    Out-of-image taps get zero weight, which IS the zero border.
+    """
+    out_h, out_w = out_size
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    sx = (x2 - x1 + 1.0) / out_w
+    sy = (y2 - y1 + 1.0) / out_h
+    src_y = ((jnp.arange(out_h, dtype=jnp.float32)[None, :] + 0.5)
+             * sy[:, None] - 0.5 + y1[:, None])           # (K, out_h)
+    src_x = ((jnp.arange(out_w, dtype=jnp.float32)[None, :] + 0.5)
+             * sx[:, None] - 0.5 + x1[:, None])           # (K, out_w)
+    src_y = jnp.clip(src_y, y1[:, None], y2[:, None])
+    src_x = jnp.clip(src_x, x1[:, None], x2[:, None])
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_y[:, :, None]
+                           - jnp.arange(h, dtype=jnp.float32)))  # (K,oh,H)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_x[:, :, None]
+                           - jnp.arange(w, dtype=jnp.float32)))  # (K,ow,W)
+    return wy, wx
+
+
+def _crop_epilogue(out, offset, scale, out_dtype, in_dtype):
+    """Fused affine post-transform ``(out - offset) * scale`` on the f32
+    accumulator BEFORE the out_dtype cast.  This is how the cascade folds
+    preprocess.mtcnn's centering into the crop: casting raw uint8-range
+    pixels to bf16 quantises mid-gray values (~128) at ~1.0 spacing, but
+    the centered-and-scaled values live in [-1, 1] where bf16 spacing is
+    ~2^-9 — the cast loses <0.01 pixel LSB instead of up to 0.5."""
+    if offset is not None:
+        out = out - jnp.float32(offset)
+    if scale is not None:
+        out = out * jnp.float32(scale)
+    if out_dtype is not None:
+        return out.astype(out_dtype)
+    return _cast_like(out, in_dtype)
 
 
 def crop_and_resize(
@@ -672,31 +759,11 @@ def crop_and_resize(
     """
     out_h, out_w = out_size
     h, w = img.shape[0], img.shape[1]
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    sx = (x2 - x1 + 1.0) / out_w
-    sy = (y2 - y1 + 1.0) / out_h
-    src_y = ((jnp.arange(out_h, dtype=jnp.float32)[None, :] + 0.5)
-             * sy[:, None] - 0.5 + y1[:, None])           # (K, out_h)
-    src_x = ((jnp.arange(out_w, dtype=jnp.float32)[None, :] + 0.5)
-             * sx[:, None] - 0.5 + x1[:, None])           # (K, out_w)
-    # Clamp sample coordinates INTO the box: when the box is smaller
-    # than out_size (upscale, e.g. 20 px P-Net boxes -> 24x24 R-Net
-    # crops) the half-pixel grid extends past the box edge, and the
-    # reference's crop-then-cv2.resize replicates the crop's own border
-    # row there — it never reads image pixels outside the box.  For
-    # downscale the grid already stays inside, so this is a no-op.
-    src_y = jnp.clip(src_y, y1[:, None], y2[:, None])
-    src_x = jnp.clip(src_x, x1[:, None], x2[:, None])
-    wy = jnp.maximum(
-        0.0, 1.0 - jnp.abs(src_y[:, :, None]
-                           - jnp.arange(h, dtype=jnp.float32)))  # (K,oh,H)
-    wx = jnp.maximum(
-        0.0, 1.0 - jnp.abs(src_x[:, :, None]
-                           - jnp.arange(w, dtype=jnp.float32)))  # (K,ow,W)
+    wy, wx = _crop_weights(boxes, out_size, h, w)
     # ``compute_dtype=bfloat16`` halves the HBM traffic of the weight and
     # row intermediates; tap weights are exact to ~2^-8, i.e. <=1 LSB on
     # uint8-range pixels — the budget the cascade's conv stages already
-    # accept.  The coordinates above stay f32 (never through a matmul).
+    # accept.  The coordinates stay f32 (never through a matmul).
     # ``out_dtype`` lets a bf16 consumer (the R/O-Net towers) skip the
     # f32 round trip of the crop batch entirely.
     cdt = compute_dtype or jnp.float32
@@ -704,17 +771,46 @@ def crop_and_resize(
                       preferred_element_type=jnp.float32)
     out = jnp.einsum("kpw,kowc->kopc", wx.astype(cdt), rows.astype(cdt),
                      preferred_element_type=jnp.float32)
-    # Optional fused affine post-transform ``(out - offset) * scale``,
-    # applied on the f32 accumulator BEFORE the out_dtype cast.  This is
-    # how the cascade folds preprocess.mtcnn's centering into the crop:
-    # casting raw uint8-range pixels to bf16 quantises mid-gray values
-    # (~128) at ~1.0 spacing, but the centered-and-scaled values live in
-    # [-1, 1] where bf16 spacing is ~2^-9 — the cast loses <0.01 pixel
-    # LSB instead of up to 0.5.
-    if offset is not None:
-        out = out - jnp.float32(offset)
-    if scale is not None:
-        out = out * jnp.float32(scale)
-    if out_dtype is not None:
-        return out.astype(out_dtype)
-    return _cast_like(out, img.dtype)
+    return _crop_epilogue(out, offset, scale, out_dtype, img.dtype)
+
+
+def crop_and_resize_gather(
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    out_size: tuple[int, int],
+    compute_dtype=None,
+    out_dtype=None,
+    offset: float | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Per-candidate crops across an image batch (the crowd profile's
+    pooled-budget path, detect/cascade.py).
+
+    ``images``: (N, H, W, C); ``boxes``: (T, 4); ``img_ids``: (T,) int —
+    candidate t crops box t from image ``img_ids[t]``.  Same numerics
+    contract as ``crop_and_resize``; regions outside the image contribute
+    zeros.
+
+    TPU formulation: the separable interpolation of ``crop_and_resize``
+    with a leading candidate axis; the per-candidate source image enters
+    the y-pass batched einsum through a row gather of the (N, H, W*C)
+    flat batch.  The gather materialises a (T, H, W*C) compute-dtype
+    intermediate — candidates arriving SORTED BY IMAGE make those rows
+    HBM-contiguous runs (the pooling path sorts; unsorted inputs are
+    merely slower).  In bf16 at the crowd defaults (T = 4096 over 160²
+    sources) that is ~630 MB of traffic each way — measured against a
+    per-image einsum variant in benchmarks/exp_crowd_gather.py.
+    """
+    out_h, out_w = out_size
+    n, h, w, c = images.shape
+    wy, wx = _crop_weights(boxes, out_size, h, w)
+    cdt = compute_dtype or jnp.float32
+    flat = images.astype(cdt).reshape(n, h, w * c)
+    gath = flat[img_ids]                                # (T, H, W*C)
+    rows = jnp.einsum("toh,thd->tod", wy.astype(cdt), gath,
+                      preferred_element_type=jnp.float32)
+    rows = rows.reshape(-1, out_h, w, c)
+    out = jnp.einsum("tpw,towc->topc", wx.astype(cdt), rows.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    return _crop_epilogue(out, offset, scale, out_dtype, images.dtype)

@@ -68,14 +68,22 @@ def main():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.uniform(0, 255, (N, 160, 160, 3)
                                   ).astype(np.float32))
+    # Round 5: the round-4 wash was xb=2 with the hardcoded
+    # xwin = slices-1 (skip 1 of 4).  Narrow column blocks let a
+    # 2-slice window fit the tap span (bw=16: <=25 src cols = 75
+    # lanes <= the 129-lane window coverage), skipping HALF the
+    # H-dots and weight builds.  Interleave all configs per scale
+    # case to cancel tunnel drift.
+    configs = ((1, 0), (2, 0), (7, 2), (4, 2))
     for label, scales in (("small_faces", [0.4, 0.5, 0.6]),
                           ("mixed", [0.4, 0.8, 1.2, 1.4]),
                           ("large_faces", [1.3, 1.38, 1.43])):
         Ms = mk_transforms(scales, rng)
-        for xb in (1, 2):
-            timed(f"{label}_xb{xb}",
-                  lambda v, m, xb=xb: affine_warp_batch_pallas(
-                      v, m, (112, 112), xblocks=xb), img, Ms)
+        for rep in range(2):
+            for xb, xw in configs:
+                timed(f"{label}_xb{xb}_xw{xw}_rep{rep}",
+                      lambda v, m, xb=xb, xw=xw: affine_warp_batch_pallas(
+                          v, m, (112, 112), xblocks=xb, xwin=xw), img, Ms)
 
 
 if __name__ == "__main__":

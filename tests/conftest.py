@@ -70,6 +70,69 @@ if not os.environ.get("ALINK_TEST_NO_COMPILE_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Smoke tier (VERDICT r4 #7): one cheap path through every layer, curated
+# HERE rather than with file-level marks (a file mark would drag that
+# file's slow tests in).  Run with  `python -m pytest tests/ -q -m smoke`.
+# Keep this list <2 min warm on the single-core reference box — measure
+# after edits and trim; the measured number is recorded in pytest.ini.
+_SMOKE = {
+    # ops: NMS / boxes / crop / warp / umeyama
+    "test_nms_matches_greedy_reference",
+    "test_nms_tie_break_consistent_across_paths",
+    "test_crop_and_resize_exact_box",
+    "test_affine_warp_pallas_matches_gather_oracle",
+    # cascade + bf16 numeric path + crowd pooling
+    "test_shapes_and_masks",
+    "test_template_landmarks_give_identity_warp",
+    "test_bf16_cascade_matches_f32_within_budget",
+    "test_crop_offset_scale_fold_matches_post_preprocess",
+    "test_bf16_fold_beats_unfolded_quantisation",
+    "test_pool_orders_by_image_then_score",
+    "test_scatter_caps_and_ranks",
+    "test_crowd_profile_runs_end_to_end",
+    # models / preprocess
+    "test_siamese_head_softmax_shapes",
+    "test_arcface_embeddings_unit_norm",
+    "test_pnet_output_grid_stride2_cell12",
+    "test_preprocess_mtcnn",
+    # active loop: committee, selection, query flow
+    "test_predict_is_member_mean",
+    "test_disparity_topk",
+    "test_select_queries_end_to_end",
+    # noise + attack + DE
+    "test_gaussian_statistics",
+    "test_registry_parity",
+    "test_perturb_image_semantics",
+    "test_sphere_converges",
+    # data layer
+    "test_dfw_protocol",
+    "test_all_pairs_minibatch_counts",
+    # pairwise scorer + serving
+    "test_xla_matches_direct_apply",
+    "test_verify_pairs_shapes_and_range",
+    # evaluation chain
+    "test_matches_reference_loop",
+    "test_roc_from_scores_chain",
+    # training
+    "test_bce_matches_keras_formula",
+    "test_train_step_reduces_loss",
+    # parallel / sharding (virtual mesh)
+    "test_shard_batch_pads",
+    "test_sharded_featurize_matches_local",
+    # converters + utils
+    "test_stage_size_inference_covers_the_zoo",
+    "test_one_hot",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.name.split("[")[0]
+        if name in _SMOKE and not item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from alink_tpu.parallel import create_mesh

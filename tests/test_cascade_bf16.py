@@ -25,8 +25,6 @@ from alink_tpu.ops.image import crop_and_resize
 
 import jax
 
-pytestmark = pytest.mark.smoke
-
 
 def _cfg(crop_dtype):
     return CascadeConfig.typical(crop_dtype=crop_dtype)

@@ -439,11 +439,13 @@ def test_affine_warp_pallas_xwindow_parity(rng):
     ]
     for Ms in (realistic, extreme):
         Ms = jnp.asarray(np.stack(Ms), jnp.float32)
-        got = imops.affine_warp_batch_pallas(imgs, Ms, (112, 112),
-                                             interpret=True, xblocks=2)
         want = imops.affine_warp_batch(imgs, Ms, (112, 112))
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1.5)
+        for xb, xw in ((2, 0), (7, 2), (4, 2)):
+            got = imops.affine_warp_batch_pallas(
+                imgs, Ms, (112, 112), interpret=True, xblocks=xb, xwin=xw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1.5,
+                                       err_msg=f"xblocks={xb} xwin={xw}")
 
 
 @pytest.mark.slow
