@@ -86,6 +86,9 @@ def run_eval_regression(
     *,
     num_people: int = 8,
     test_people: int = 6,
+    test_plain_per_person: int = 2,
+    test_disguised_per_person: int = 2,
+    test_impostors_per_person: int = 1,
     image_size: int = 32,
     featurize=None,
     feature_res: int = 2048,
@@ -110,6 +113,9 @@ def run_eval_regression(
     # stream -> different base patterns).
     _, names, mask = make_synthetic_dfw_test(
         root, num_people=test_people, image_size=image_size,
+        plain_per_person=test_plain_per_person,
+        disguised_per_person=test_disguised_per_person,
+        impostors_per_person=test_impostors_per_person,
         seed=seed + 1000)
 
     overrides = dict(
@@ -210,18 +216,56 @@ def run_eval_regression(
     if verbose:
         print("a2link:", json.dumps(stages["a2link"]["overall"]))
 
-    ordering = {
-        "alink_auc_gt_pre": (stages["alink"]["overall"]["auc"]
-                             > stages["pre"]["overall"]["auc"]),
-        "a2link_auc_gt_pre": (stages["a2link"]["overall"]["auc"]
-                              > stages["pre"]["overall"]["auc"]),
-        "alink_gar1_ge_pre": (
-            stages["alink"]["overall"]["gar_at_1pct_far"]
-            >= stages["pre"]["overall"]["gar_at_1pct_far"]),
-        "a2link_gar1_ge_pre": (
-            stages["a2link"]["overall"]["gar_at_1pct_far"]
-            >= stages["pre"]["overall"]["gar_at_1pct_far"]),
-    }
+    # --- classical-AL baseline at EQUAL oracle budget (VERDICT r4 #3) --
+    # The paper's comparison (existing_al.py): a single student trained
+    # by pool-based uncertainty sampling.  Starting from the SAME
+    # pretrained M2, it gets exactly as many oracle labels as the alink
+    # arm spent — so the alink-vs-baseline ordering isolates the
+    # selection/committee machinery, not the label budget.
+    def run_baseline(budget: int) -> dict:
+        from alink_tpu.active import ActiveLearner
+        from alink_tpu.active.uncertainty import get_strategy
+
+        gen = common.replay_generator(cfg.seed + 3, data.plain_feats,
+                                      data.imp_feats, cfg.batch_size)
+        learner = ActiveLearner(m2_pre, get_strategy("uncertainty_sampling"),
+                                key=next(keys), epochs=overrides["ft_epochs"],
+                                batch_size=cfg.batch_size)
+        q = 0
+        while q < budget:
+            (left, right), y = next(gen)
+            n_pick = min(max(1, len(y) // 10), budget - q)
+            idx = learner.query(left, right, n_instances=n_pick)
+            learner.teach(left[idx], right[idx], y[idx], only_new=True)
+            q += n_pick
+        st = evaluate_stage(learner.state.params, feats, mask, workdir,
+                            "existing_al", thresholds)
+        st["overall"]["oracle_queries"] = q
+        return st
+
+    alink_budget = stages["alink"]["overall"]["oracle_queries"]
+    stages["existing_al"] = run_baseline(max(1, alink_budget))
+    if verbose:
+        print("existing_al:", json.dumps(stages["existing_al"]["overall"]))
+
+    # Improvement orderings — PER CASE, not just overall (VERDICT r4 #3:
+    # the paper reports impersonation/obfuscation/overall separately,
+    # create_figure_3.m, and an overall-only flag let a per-case
+    # regression pass unnoticed in EVAL_r04).
+    ordering = {}
+    for case in ("impersonation", "obfuscation", "overall"):
+        for arm in ("alink", "a2link"):
+            ordering[f"{arm}_auc_gt_pre_{case}"] = (
+                stages[arm][case]["auc"] > stages["pre"][case]["auc"])
+            ordering[f"{arm}_gar1_ge_pre_{case}"] = (
+                stages[arm][case]["gar_at_1pct_far"]
+                >= stages["pre"][case]["gar_at_1pct_far"])
+    ordering["alink_auc_ge_existing_al"] = (
+        stages["alink"]["overall"]["auc"]
+        >= stages["existing_al"]["overall"]["auc"])
+    # Back-compat aliases (r04 artifact keys).
+    ordering["alink_auc_gt_pre"] = ordering["alink_auc_gt_pre_overall"]
+    ordering["a2link_auc_gt_pre"] = ordering["a2link_auc_gt_pre_overall"]
     artifact = {
         "protocol": {
             "train_people": num_people,
@@ -255,9 +299,12 @@ def main(argv=None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--out", default="EVAL_r05.json")
     ap.add_argument("--num_people", type=int, default=8)
     ap.add_argument("--test_people", type=int, default=6)
+    ap.add_argument("--test_plain", type=int, default=2)
+    ap.add_argument("--test_disguised", type=int, default=2)
+    ap.add_argument("--test_impostors", type=int, default=1)
     ap.add_argument("--image_size", type=int, default=32)
     ap.add_argument("--n_steps", type=int, default=512)
     ap.add_argument("--m2_n_steps", type=int, default=None)
@@ -267,6 +314,9 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
     art = run_eval_regression(
         args.out, num_people=args.num_people, test_people=args.test_people,
+        test_plain_per_person=args.test_plain,
+        test_disguised_per_person=args.test_disguised,
+        test_impostors_per_person=args.test_impostors,
         image_size=args.image_size, n_steps=args.n_steps,
         m2_n_steps=args.m2_n_steps, dig_epochs=args.dig_epochs,
         undig_epochs=args.undig_epochs, seed=args.seed)

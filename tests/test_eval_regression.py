@@ -65,6 +65,28 @@ class TestEvalRegression:
         assert a2link["eer"] <= pre["eer"]
         assert alink["gar_at_1pct_far"] >= pre["gar_at_1pct_far"]
 
+    def test_improvement_ordering_per_case(self, artifact):
+        """The paper reports impersonation and obfuscation SEPARATELY
+        (create_figure_3.m) — an overall-only check let EVAL_r04's
+        obfuscation AUC regression pass unnoticed (VERDICT r4 #3).
+        Demand no per-case regression for either arm."""
+        for case in ("impersonation", "obfuscation"):
+            pre = artifact["stages"]["pre"][case]
+            for arm in ("alink", "a2link"):
+                got = artifact["stages"][arm][case]
+                assert got["auc"] > pre["auc"], (case, arm, pre, got)
+                assert artifact["ordering"][f"{arm}_auc_gt_pre_{case}"]
+
+    def test_equal_budget_baseline_recorded(self, artifact):
+        """The classical-AL baseline arm runs at EXACTLY the alink arm's
+        oracle budget, and the committee-driven selection must do at
+        least as well as plain uncertainty sampling on overall AUC."""
+        base = artifact["stages"]["existing_al"]["overall"]
+        alink = artifact["stages"]["alink"]["overall"]
+        assert base["oracle_queries"] == alink["oracle_queries"]
+        assert artifact["ordering"]["alink_auc_ge_existing_al"], (
+            base, alink)
+
     def test_ordering_flags_recorded(self, artifact):
         assert artifact["ordering"]["alink_auc_gt_pre"] is True
         assert artifact["ordering"]["a2link_auc_gt_pre"] is True
