@@ -134,7 +134,30 @@ def run_eval_regression(
         **overrides,
     )
 
-    if featurize is None:
+    featurizer_kind = ("linear-random-projection" if featurize == "linear"
+                       else "resnet50-random-weights" if featurize is None
+                       else "custom")
+    if featurize == "linear":
+        # Documented random-projection featurizer (seeded, D=feature_res):
+        # a fixed distance-preserving linear map of the pixels.  The
+        # random-WEIGHTS ResNet50 alternative was measured to make the
+        # finetune dynamics chaotic at this synthetic scale (round-5
+        # sweep: every arm's AUC walked randomly, down as often as up —
+        # deep random features of synthetic noise patterns concentrate
+        # pathologically), while the task difficulty is controlled
+        # honestly here through the projection dimension instead.  The
+        # production chain under test is identical either way; with a
+        # REAL trained featurizer (the blocked real-weights path) this
+        # knob is moot.
+        Wp = jax.random.normal(next(keys),
+                               (image_size * image_size * 3, feature_res)
+                               ) / 30.0
+
+        @jax.jit
+        def featurize(imgs):
+            x = imgs.reshape(imgs.shape[0], -1) / 255.0
+            return x @ Wp
+    elif featurize is None:
         featurize, _ = common.make_resnet50_featurizer(next(keys))
     else:
         next(keys)
@@ -273,6 +296,7 @@ def run_eval_regression(
             "test_faces": len(names),
             "image_size": image_size,
             "feature_res": feature_res,
+            "featurizer": featurizer_kind,
             "noise_bank": list(noise_bank),
             "n_steps": n_steps,
             "seed": seed,
@@ -310,16 +334,31 @@ def main(argv=None) -> None:
     ap.add_argument("--m2_n_steps", type=int, default=None)
     ap.add_argument("--dig_epochs", type=int, default=6)
     ap.add_argument("--undig_epochs", type=int, default=8)
+    ap.add_argument("--featurizer", choices=("resnet50", "linear"),
+                    default="resnet50")
+    ap.add_argument("--feature_res", type=int, default=2048)
+    ap.add_argument("--mixture_ratio", type=int, default=None,
+                    help="replay batches mixed per finetune (anchors the "
+                         "pretrained head against small-batch drift)")
+    ap.add_argument("--ft_epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
+    loop_overrides = {}
+    if args.mixture_ratio is not None:
+        loop_overrides["mixture_ratio"] = args.mixture_ratio
+    if args.ft_epochs is not None:
+        loop_overrides["ft_epochs"] = args.ft_epochs
     art = run_eval_regression(
         args.out, num_people=args.num_people, test_people=args.test_people,
         test_plain_per_person=args.test_plain,
         test_disguised_per_person=args.test_disguised,
         test_impostors_per_person=args.test_impostors,
         image_size=args.image_size, n_steps=args.n_steps,
+        featurize="linear" if args.featurizer == "linear" else None,
+        feature_res=args.feature_res,
         m2_n_steps=args.m2_n_steps, dig_epochs=args.dig_epochs,
-        undig_epochs=args.undig_epochs, seed=args.seed)
+        undig_epochs=args.undig_epochs, loop_overrides=loop_overrides,
+        seed=args.seed)
     print(json.dumps(art["ordering"]))
 
 
