@@ -391,7 +391,6 @@ def _scatter_per_image(img_id, tvalid, n, cap, *arrays):
     crowd profile's documented per-image cap).  Returns (arrays
     scattered to (n, cap, ...), valid mask (n, cap)).
     """
-    t = img_id.shape[0]
     # Rank among the image's VALID candidates: a segment cumsum — dead
     # (below-threshold) candidates must not burn cap slots.
     cumv = jnp.cumsum(tvalid.astype(jnp.int32))

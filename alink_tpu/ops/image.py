@@ -605,10 +605,11 @@ def affine_warp_batch_pallas(
     # (A/B probes); ``>1`` = explicit block count.
     n_xb = xblocks
     if n_xb == 0:
-        if (xwin == 0 and out_w % 16 == 0 and out_w <= 256
-                and wcn // 128 >= 3):
+        if out_w % 16 == 0 and out_w <= 256 and wcn // 128 >= 3:
+            # Auto: 16-px column blocks; an explicit ``xwin`` rides the
+            # auto block count (the caller tunes window width only).
             n_xb = out_w // 16
-            xwin = 2
+            xwin = xwin or 2
         else:
             n_xb = 1
     xw = 0
@@ -732,6 +733,12 @@ def _crop_epilogue(out, offset, scale, out_dtype, in_dtype):
         out = out * jnp.float32(scale)
     if out_dtype is not None:
         return out.astype(out_dtype)
+    if ((offset is not None or scale is not None)
+            and jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)):
+        # The affine fold moves values out of the input's integer range
+        # ([-1, 1] for the mtcnn fold) — casting back would collapse the
+        # crops to {0, 1}.  Centered output stays float.
+        return out
     return _cast_like(out, in_dtype)
 
 
@@ -798,9 +805,10 @@ def crop_and_resize_gather(
     flat batch.  The gather materialises a (T, H, W*C) compute-dtype
     intermediate — candidates arriving SORTED BY IMAGE make those rows
     HBM-contiguous runs (the pooling path sorts; unsorted inputs are
-    merely slower).  In bf16 at the crowd defaults (T = 4096 over 160²
-    sources) that is ~630 MB of traffic each way — measured against a
-    per-image einsum variant in benchmarks/exp_crowd_gather.py.
+    merely slower).  Measured in-pipeline at ~0.6-1.6 ms per pooled
+    stage at the crowd defaults (benchmarks/bench_crowd.py,
+    BENCHMARKS.md round-5 dense table) — pooling-invariant, small next
+    to the pooled towers it feeds.
     """
     out_h, out_w = out_size
     n, h, w, c = images.shape

@@ -85,3 +85,38 @@ def test_bf16_fold_beats_unfolded_quantisation(rng):
     # In pixel-LSB units (1 LSB = 0.0078125 of the scaled range):
     assert err_folded / 0.0078125 < 0.02
     assert err_folded < err_unfolded
+
+
+def test_uint8_image_folded_crop_stays_float(rng):
+    """Integer inputs + the centering fold must NOT cast back to the
+    integer dtype: the folded values live in [-1, 1] and a uint8 cast
+    would collapse them to {0, 1} (round-5 advisor finding — regression
+    guard for the fix in ops.image._crop_epilogue)."""
+    imgf = jax.random.uniform(rng, (32, 32, 3), minval=0.0, maxval=255.0)
+    imgu = jnp.round(imgf).astype(jnp.uint8)
+    boxes = jnp.array([[2.0, 3.0, 25.0, 26.0]])
+    folded_u8 = crop_and_resize(imgu, boxes, (24, 24),
+                                offset=127.5, scale=0.0078125)
+    assert jnp.issubdtype(folded_u8.dtype, jnp.floating)
+    folded_f = crop_and_resize(imgu.astype(jnp.float32), boxes, (24, 24),
+                               offset=127.5, scale=0.0078125)
+    np.testing.assert_allclose(np.asarray(folded_u8), np.asarray(folded_f),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_uint8_images_through_cascade_match_float(rng):
+    """End-to-end: a uint8 batch through detect_faces equals the same
+    pixels as f32 — the path the round-5 crop-fold bug silently broke
+    (uint8 crops collapsed to {0, 1} before the towers on CPU)."""
+    params = init_cascade_params(rng, with_lnet=False)
+    k1, _ = jax.random.split(rng)
+    imgu = jax.random.randint(k1, (2, 64, 64, 3), 0, 256, jnp.int32
+                              ).astype(jnp.uint8)
+    cfg = CascadeConfig.typical()
+    du = detect_faces(params, imgu, cfg)
+    df = detect_faces(params, imgu.astype(jnp.float32), cfg)
+    np.testing.assert_array_equal(np.asarray(du.valid), np.asarray(df.valid))
+    np.testing.assert_allclose(np.asarray(du.scores), np.asarray(df.scores),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(du.boxes), np.asarray(df.boxes),
+                               rtol=1e-4, atol=1e-3)
