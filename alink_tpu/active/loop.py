@@ -79,6 +79,20 @@ class ALinkState:
         self.buffer_left = self.buffer_right = self.buffer_y = None
 
 
+def _next_pow2(n: int) -> int:
+    """Smallest power of two >= n (>= 1) — the shape-bucketing policy.
+
+    Bucketed widths bound distinct compiled programs at log2(max width)
+    and padding waste at <2x; every bucketing site in the loop must use
+    the same policy or a missed one silently reintroduces per-iteration
+    retraces (seconds each — see run_iteration's chunk-width comment).
+    """
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class IterationLog(NamedTuple):
     iteration: int
     pairs: int
@@ -279,8 +293,21 @@ class ALinkLoop:
         """Jitted-once wrapper of ``_chunk_impl``; the mutable student and
         committee params and the RNG key flow through as arguments, so
         per-round finetunes (or committee refreshes) never retrace and are
-        never served from stale trace-time constants."""
+        never served from stale trace-time constants.
+
+        The one callable that lives on mutable state rather than on self
+        is the student's ``logits_fn`` (student_is_head=False path,
+        ``_student_probs``) — ``__setattr__``'s _TRACED_ATTRS guard can't
+        see ``self.state`` reassignments (state changes every finetune;
+        blanket invalidation would retrace every round), so its identity
+        is checked here and a swap of the student MODEL (not its params)
+        drops the cached trace."""
+        lf = (None if self.student_is_head
+              else self.state.m2_state.logits_fn)
+        if lf is not getattr(self, "_trace_logits_fn", None):
+            self._chunk_jit = None
         if self._chunk_jit is None:
+            self._trace_logits_fn = lf
             self._chunk_jit = jax.jit(self._chunk_impl)
         with self.timings.phase("chunk"):
             return self._chunk_jit(self.state.m2_state.params,
@@ -329,10 +356,7 @@ class ALinkLoop:
         # always padding to device_batch would run up to 2x-32x dead
         # pairs on small slabs.  Buckets bound the compile count at
         # log2(device_batch) and the padding waste at <2x.
-        db = 1
-        while db < min(self.device_batch, n):
-            db *= 2
-        db = min(db, self.device_batch)
+        db = min(_next_pow2(min(self.device_batch, n)), self.device_batch)
         # Everything downstream of the chunks runs in PADDED pair space
         # (width n_chunks*db): slicing each chunk back to its real width
         # would make the select/pack programs' shapes track the exact
@@ -405,9 +429,7 @@ class ALinkLoop:
                 # this one gather (measured ~4.3 s/iter on chip vs ~50 ms
                 # warm).  Pad with (0, 0) — any valid index — and slice
                 # the padding off host-side after the transfer.
-                bw = 1
-                while bw < w:
-                    bw *= 2
+                bw = _next_pow2(w)
                 kk_np = np.concatenate(sel_k)
                 ll_np = np.concatenate(sel_local)
                 if bw > w:
@@ -485,9 +507,7 @@ class ALinkLoop:
                     # device work) or every finetune event pays a
                     # multi-second featurizer retrace.
                     q = queried.size
-                    bq = 1
-                    while bq < q:
-                        bq *= 2
+                    bq = _next_pow2(q)
                     qidx = np.concatenate(
                         [queried, np.repeat(queried[-1:], bq - q)])
                     ql = pool[jnp.asarray(left_idx_pad[qidx])].astype(
@@ -545,9 +565,18 @@ class ALinkLoop:
             ali, ari = self._student_inputs(
                 resize(al, self.student_res), resize(ar, self.student_res)
             )
-            parts_l.append(np.asarray(ali)[:q])
-            parts_r.append(np.asarray(ari)[:q])
-            parts_y.append(np.argmax(np.asarray(ay)[:q], axis=-1))
+            # augment_pairs emits variant BLOCKS of len(left_raw) rows
+            # each ([original, rotation, shear, shift]); keep the q real
+            # rows of EVERY block — a plain [:q] would keep only the
+            # clean originals and silently discard all augmented copies
+            # (while [:4q] would train on mislabeled padding rows).
+            bq = len(left_raw)
+            n_blocks = int(ali.shape[0]) // bq
+            rows = (np.arange(n_blocks)[:, None] * bq
+                    + np.arange(q)[None, :]).reshape(-1)
+            parts_l.append(np.asarray(ali)[rows])
+            parts_r.append(np.asarray(ari)[rows])
+            parts_y.append(np.argmax(np.asarray(ay)[rows], axis=-1))
         else:
             # Clean (un-noised) versions of the queried pairs
             # (ALINK.py:247-250), mapped into student space here.

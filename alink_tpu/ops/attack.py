@@ -245,12 +245,19 @@ def fgsm_pairs(
     target_labels: jnp.ndarray,
     epsilon: float = 2.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast gradient-sign attack on a pair batch (BASELINE.json scope).
+    """Targeted fast gradient-sign attack on a pair batch (BASELINE.json
+    scope: "FGSM + DE one-pixel" as A2-LINK adversarial channels).
 
-    Standard untargeted FGSM: both halves move by ``epsilon * sign(grad)``
-    of the cross-entropy against ``target_labels``, *increasing* the loss
-    (pushing the model away from those labels), in raw pixel units
-    ([0, 255] images).
+    TARGETED, matching the DE channel's semantics (attack.py:96-97 via
+    ``one_pixel_attack_pairs``): both halves move by
+    ``-epsilon * sign(grad)`` of the cross-entropy against
+    ``target_labels`` — *descending* the loss, i.e. pushing the model
+    TOWARD those labels (the committee passes M1's labels,
+    committee.py:attack_model), in raw pixel units ([0, 255] images).
+    The selection signal is then pairs whose student RESISTS agreeing
+    with M1 under attack — the same criterion as the DE channel; an
+    ascending FGSM would manufacture disagreement on every pair and
+    invert the channel's meaning.
     """
 
     def xent(lh, rh):
@@ -259,4 +266,4 @@ def fgsm_pairs(
         return -jnp.mean(jnp.sum(target_labels * jnp.log(probs + eps), axis=-1))
 
     gl, gr = jax.grad(xent, argnums=(0, 1))(left, right)
-    return left + epsilon * jnp.sign(gl), right + epsilon * jnp.sign(gr)
+    return left - epsilon * jnp.sign(gl), right - epsilon * jnp.sign(gr)

@@ -244,7 +244,11 @@ def differential_evolution(
         x=scale_params(pop[0]),
         fun=energies[0],
         nit=nit,
-        nfev=(nit + 1) * m,
+        # init population + one population per generation, plus the one
+        # early-stop probe per generation when early_stop_fn is set
+        # (attack.py's per-generation success forward) — otherwise the
+        # count systematically under-reports model-forward budget.
+        nfev=(nit + 1) * m + (nit if early_stop_fn is not None else 0),
         population=scale_params(pop),
         energies=energies,
         stopped_early=stopped,

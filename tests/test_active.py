@@ -257,6 +257,107 @@ class TestALinkLoop:
         loop.run(plain, dig)
         assert loop.state.un_size > 0
 
+    def test_student_model_swap_invalidates_chunk_trace(self):
+        """student_is_head=False closes the student's ``logits_fn`` into
+        the cached chunk trace; swapping the student MODEL (a fresh
+        TrainState with a different logits_fn) must drop the cache, while
+        ordinary param updates (same logits_fn via .replace) must not
+        (regression: the _TRACED_ATTRS guard can't see state swaps)."""
+        import flax.linen as nn
+
+        class _TinyPairNet(nn.Module):
+            @nn.compact
+            def logits(self, left, right):
+                x = jnp.abs(left.reshape(left.shape[0], -1)
+                            - right.reshape(right.shape[0], -1))
+                return nn.Dense(2)(x)
+
+            def __call__(self, left, right):
+                return jax.nn.softmax(self.logits(left, right), axis=-1)
+
+        size = 4
+        ex = jnp.zeros((2, size, size, 3))
+        m2 = T.create_train_state(_TinyPairNet(), jax.random.PRNGKey(0),
+                                  ex, ex)
+        head = SiameseHead(widths=(16, 8), dtype=jnp.float32)
+        p0 = head.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, size * size * 3)),
+                       jnp.zeros((1, size * size * 3)))
+        com = Committee.from_param_list(head, [p0],
+                                        noise_names=("gaussian",))
+        cfg = ALinkConfig(
+            noise=("gaussian",), image_res=(size, size),
+            feature_res=size * size * 3, alink_bs=2, batch_send=64,
+            ft_epochs=1, mixture_ratio=0, disparity_ratio=0.9, eps=0.01,
+        )
+        loop = ALinkLoop(cfg, featurize=_identity_featurize, committee=com,
+                         m2_state=m2, student_featurize=None,
+                         student_is_head=False, key=jax.random.PRNGKey(4))
+        rng = np.random.default_rng(5)
+        stacks = PersonStacks(
+            rng.random((4, 2, size, size, 3)).astype(np.float32) * 255,
+            np.full(4, 2, np.int32))
+        loop.run_iteration(stacks.take_people([0, 1]),
+                           stacks.take_people([0, 1]))
+        jit1 = loop._chunk_jit
+        assert jit1 is not None
+        # Param-only update (fit-style .replace): cache survives.
+        loop.state.m2_state = loop.state.m2_state.replace(
+            step=loop.state.m2_state.step + 1)
+        loop.run_iteration(stacks.take_people([2, 3]),
+                           stacks.take_people([2, 3]))
+        assert loop._chunk_jit is jit1
+        # Model swap (fresh logits_fn): cache must be rebuilt.
+        loop.state.m2_state = T.create_train_state(
+            _TinyPairNet(), jax.random.PRNGKey(9), ex, ex)
+        loop.run_iteration(stacks.take_people([0, 1]),
+                           stacks.take_people([0, 1]))
+        assert loop._chunk_jit is not jit1
+        assert loop._trace_logits_fn is loop.state.m2_state.logits_fn
+
+    def test_augment_finetune_includes_all_variant_blocks(self, monkeypatch):
+        """augment=True must train on original + rotation + shear + shift
+        copies of the queried pairs — 4x the clean path's queried rows —
+        with per-block padding rows dropped (regression: a [:q] slice kept
+        only the clean originals, silently equal to augment=False)."""
+        from alink_tpu.active import loop as loop_mod
+
+        fit_batches = []
+        real_fit = loop_mod.T.fit
+
+        def spy_fit(state, left, right, y, **kw):
+            fit_batches.append((np.asarray(left), np.asarray(y)))
+            return real_fit(state, left, right, y, **kw)
+
+        monkeypatch.setattr(loop_mod.T, "fit", spy_fit)
+        loop, plain, dig = self._setup(augment=True)
+        q, bq = 3, 4  # 3 real queried pairs padded to a 4-row bucket
+        d = loop.config.feature_res
+        rng = np.random.default_rng(7)
+        left_raw = rng.random((bq, 8, 8, 3)).astype(np.float32) * 255
+        right_raw = rng.random((bq, 8, 8, 3)).astype(np.float32) * 255
+        pseudo = np.array([1, 0, 1], np.int32)
+        # One buffered noisy pair, as in the real flow (the queue is
+        # non-empty whenever _finetune fires).
+        loop.state.append_buffer(np.zeros((1, d), np.float32),
+                                 np.zeros((1, d), np.float32),
+                                 np.zeros((1,), np.int32))
+        loop._finetune(left_raw, right_raw, pseudo, valid=q)
+
+        assert len(fit_batches) == 1
+        big_l, big_y = fit_batches[0]
+        replay_rows = loop.config.mixture_ratio * 8
+        assert big_l.shape[0] == 1 + 4 * q + replay_rows
+        # Labels: pseudo repeated once per variant block, then replay.
+        np.testing.assert_array_equal(
+            big_y[1:1 + 4 * q], np.tile(pseudo, 4))
+        # The augmented blocks must actually differ from the originals.
+        orig = big_l[1:1 + q]
+        for blk in range(1, 4):
+            s = 1 + blk * q
+            assert not np.allclose(orig, big_l[s:s + q])
+        assert big_l.shape[1:] == (d,)
+
 
 class TestLoopCheckpoint:
     def test_save_restore_resume(self, tmp_path):

@@ -129,7 +129,8 @@ def test_fgsm_shifts_by_epsilon_sign(rng):
     dr = np.unique(np.round(np.asarray(nr - right), 5))
     assert set(dl.tolist()) <= {-2.0, 0.0, 2.0}
     assert set(dr.tolist()) <= {-2.0, 0.0, 2.0}
-    # Standard FGSM ascends the loss: P(label class) must drop.
+    # Targeted FGSM descends the loss (the DE channel's semantics):
+    # P(target class) must RISE — the attack drives M2 toward M1's label.
     p_before = _toy_predict(_TOY_PARAMS, left, right)[:, 1]
     p_after = _toy_predict(_TOY_PARAMS, nl, nr)[:, 1]
-    assert np.all(np.asarray(p_after) < np.asarray(p_before))
+    assert np.all(np.asarray(p_after) > np.asarray(p_before))
