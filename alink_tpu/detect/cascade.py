@@ -318,7 +318,10 @@ def _stage2_tail(boxes, scores, valid, reg, cfg: CascadeConfig):
         select_topk(boxes, scores, valid, cfg.stage2_budget))
 
 
-def _stage2(params, img, boxes, scores, valid, cfg: CascadeConfig):
+def _stage2(params, img, boxes, valid, cfg: CascadeConfig):
+    # Incoming stage-1 scores are never used: the tail ranks and
+    # thresholds on R-Net's own probabilities (mtcnn_detector.py:418),
+    # so the signature doesn't take them.
     # Crop geometry keeps the unclipped extent (pad()'s tmpw/tmph are
     # computed before its in-place clamp, mtcnn_detector.py:148-151);
     # everything downstream sees the clipped boxes (see clip_to_image).
@@ -531,7 +534,7 @@ def detect_faces(
 
     def single(img):
         b, s, v = _stage1(params, img, cfg, h, w)
-        b, s, v = _stage2(params, img, b, s, v, cfg)
+        b, s, v = _stage2(params, img, b, v, cfg)
         b, s, v, lmk = _stage3(params, img, b, s, v, cfg)
         if cfg.accurate_landmark:
             if params.lnet is None:
@@ -564,7 +567,7 @@ def detect_faces_limited(
     inside the R-Net stage at :224) — so none happens here either.
     """
     def single(img, b, v):
-        b2, s2, v2 = _stage2(params, img, b, jnp.ones(b.shape[0]), v, cfg)
+        b2, s2, v2 = _stage2(params, img, b, v, cfg)
         return _stage3(params, img, b2, s2, v2, cfg)
 
     bb, ss, vv, lmk = jax.vmap(single)(images, boxes, valid)

@@ -24,7 +24,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from alink_tpu.models.resnet import _FrozenBN
+from alink_tpu.models.resnet import MXNET_BN_EPS, _FrozenBN
 
 
 class _PReLU(nn.Module):
@@ -52,9 +52,9 @@ class _IRUnit(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         f = self.filters
         project = self.stride != 1 or x.shape[-1] != f
-        y = _FrozenBN(dtype=self.dtype)(x)
+        y = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(x)
         y = nn.Conv(f, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
-        y = _FrozenBN(dtype=self.dtype)(y)
+        y = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(y)
         y = _PReLU(dtype=self.dtype)(y)
         # Explicit symmetric (1, 1) padding: MXNet/Caffe convention.  XLA's
         # "SAME" pads (0, 1) for stride-2 3x3 on even inputs, which selects
@@ -62,11 +62,11 @@ class _IRUnit(nn.Module):
         y = nn.Conv(f, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype)(y)
-        y = _FrozenBN(dtype=self.dtype)(y)
+        y = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(y)
         if project:
             shortcut = nn.Conv(f, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype)(x)
-            shortcut = _FrozenBN(dtype=self.dtype)(shortcut)
+            shortcut = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(shortcut)
         else:
             shortcut = x
         return y + shortcut
@@ -113,7 +113,7 @@ class ArcFaceResNet100(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
         x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = _FrozenBN(dtype=self.dtype)(x)
+        x = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(x)
         x = _PReLU(dtype=self.dtype)(x)
         for blocks, width in zip(self.stage_sizes, self.stage_widths):
             if self.scan_units:
@@ -129,7 +129,7 @@ class ArcFaceResNet100(nn.Module):
                 continue
             for b in range(blocks):
                 x = _IRUnit(width, stride=2 if b == 0 else 1, dtype=self.dtype)(x)
-        x = _FrozenBN(dtype=self.dtype)(x)
+        x = _FrozenBN(eps=MXNET_BN_EPS, dtype=self.dtype)(x)
         x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
         x = nn.Dense(self.embedding_dim, dtype=jnp.float32)(x)
         # fc1 output BN (1-D), then L2 normalisation (face_model.py:92).

@@ -66,25 +66,21 @@ def SENet50Classifier(out_dim: int, dtype=jnp.bfloat16) -> _BackboneClassifier:
 
 
 class SmallResClassifier(nn.Module):
-    """Small conv classifier (model.py:144-176): conv 32-32-pool-64-64-pool
-    -> Dense 512 -> Dropout(.5) -> softmax, with (x-128)/128 scaling."""
+    """Small conv classifier (model.py:144-176): the SmallRes student's
+    conv tower (models/siamese.SmallResTower — one source for the shared
+    topology) at feature_dim 512 -> Dropout(.5) -> softmax, with the
+    (x-128)/128 scaling of preprocess.smallres."""
 
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def _logits(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = ((x - 128.0) / 128.0).astype(self.dtype)
-        x = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(32, (3, 3), padding="VALID", dtype=self.dtype)(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype)(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
-        x = x.reshape((x.shape[0], -1))
-        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x)).astype(jnp.float32)
+        from alink_tpu.models.preprocess import smallres
+        from alink_tpu.models.siamese import SmallResTower
+
+        x = SmallResTower(feature_dim=512, dtype=self.dtype)(
+            smallres(x), train=train)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return nn.Dense(self.out_dim, dtype=jnp.float32)(x)
 

@@ -25,8 +25,16 @@ _VGGFACE_V2_MEAN_BGR = (91.4953, 103.8827, 131.0912)
 
 
 def vggface(x: jnp.ndarray, version: int = 2) -> jnp.ndarray:
-    """keras_vggface preprocess_input on NHWC RGB float input."""
+    """keras_vggface preprocess_input on NHWC RGB input (any dtype).
+
+    Integer inputs promote to f32 first — casting the fractional means
+    to an integer dtype would truncate them, and uint8 subtraction wraps
+    (50 - 91 -> 215), silently corrupting every downstream feature.  The
+    float-dtype path (f32/bf16) stays in the input dtype.
+    """
     mean = _VGGFACE_V1_MEAN_BGR if version == 1 else _VGGFACE_V2_MEAN_BGR
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     x = x[..., ::-1]  # RGB -> BGR
     return x - jnp.asarray(mean, dtype=x.dtype)
 

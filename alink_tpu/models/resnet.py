@@ -26,14 +26,28 @@ import jax
 import jax.numpy as jnp
 
 
+# Per-family BatchNorm epsilons — checkpoint parity demands the SAME eps
+# the training framework baked into the released stats:
+# - keras_vggface backbones (VGGFaceResNet50 / SENet50): Keras-2
+#   BatchNormalization default epsilon = 1e-3 (keras_vggface models.py
+#   never overrides it);
+# - insightface MXNet backbones (models/arcface.py): symbol-json
+#   eps = 2e-5 (see tools/convert_mxnet._BN_EPS).
+KERAS_BN_EPS = 1e-3
+MXNET_BN_EPS = 2e-5
+
+
 class _FrozenBN(nn.Module):
     """Inference batch-norm: y = (x - mean) / sqrt(var + eps) * gamma + beta.
 
     Stats are parameters (no mutable state): the reference runs these
-    backbones frozen in inference mode only.
+    backbones frozen in inference mode only.  ``eps`` must match the
+    source framework of the stats being loaded (see KERAS_BN_EPS /
+    MXNET_BN_EPS above) — a mismatched eps is a silent per-channel scale
+    error of up to a few percent on low-variance channels.
     """
 
-    eps: float = 1e-5
+    eps: float = KERAS_BN_EPS
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -188,7 +202,7 @@ class VGGFaceResNet50(nn.Module):
         return x  # (N, 2048)
 
 
-def _fold_bn(bn: dict, eps: float = 1e-5):
+def _fold_bn(bn: dict, eps: float = KERAS_BN_EPS):
     """_FrozenBN params -> (scale, shift) in f32."""
     s = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
     return s, bn["beta"] - bn["mean"] * s

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-_BN_EPS = 1e-5
+_BN_EPS = 2e-5  # insightface MXNet eps — must match models/arcface.py
 
 
 def _conv(x, kernel, stride=1, padding=((1, 1), (1, 1)), dtype=None):

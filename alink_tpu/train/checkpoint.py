@@ -27,7 +27,7 @@ def _path(path: str) -> str:
 def save(path: str, tree: Any) -> None:
     """Atomically save an arbitrary pytree of arrays to ``path``."""
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(_path(path), jax.tree.map(lambda x: x, tree), force=True)
+        ckptr.save(_path(path), tree, force=True)
 
 
 def restore(path: str, like: Any | None = None) -> Any:

@@ -71,20 +71,33 @@ def ensemble_train_step(
     left: jnp.ndarray,
     right: jnp.ndarray,
     labels: jnp.ndarray,
+    key: jax.Array | None = None,
     weighted: bool = True,
 ) -> tuple[TrainState, jnp.ndarray, jnp.ndarray]:
     """One vmapped gradient step for all members.
 
     ``left``/``right``: (E, B, D); ``labels``: (E, B) — member m trains on
-    its own batch m.  Returns per-member (loss, acc) of shape (E,).
+    its own batch m.  ``key`` seeds per-member dropout (split across the
+    ensemble axis); omitted, it derives deterministically from
+    ``state.step`` so dropout-bearing members still regularise.  Returns
+    per-member (loss, acc) of shape (E,).
     """
+    if key is None:
+        key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+    e = jax.tree.leaves(state.params)[0].shape[0]
+    member_keys = jax.random.split(key, e)
 
-    def member_step(params, opt_state, le, r, y):
+    def member_step(params, opt_state, le, r, y, mkey):
         targets = one_hot(y)
         sw = class_weights_from_labels(y) if weighted else None
 
         def loss_fn(p):
-            logits = state.logits_fn(p, le, r)
+            # train=True + a per-member dropout key: logits_fn forwards
+            # them only when the member model actually takes them
+            # (create_ensemble_state), so dropout-free heads are
+            # unaffected while e.g. SmallRes members train regularised.
+            logits = state.logits_fn(p, le, r, train=True,
+                                     rngs={"dropout": mkey})
             return binary_crossentropy(logits, targets, sw), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -96,7 +109,7 @@ def ensemble_train_step(
                 accuracy(logits, targets))
 
     params, opt_state, losses, accs = jax.vmap(member_step)(
-        state.params, state.opt_state, left, right, labels)
+        state.params, state.opt_state, left, right, labels, member_keys)
     return (
         state.replace(step=state.step + 1, params=params,
                       opt_state=opt_state),
@@ -112,12 +125,15 @@ def train_ensemble(
     epochs: int,
     batch_size: int,
     n_steps: int = 320000,
+    key: jax.Array | None = None,
 ) -> tuple[TrainState, list]:
     """customTrainModel-style epochs for the whole committee at once.
 
     Per step, E batches are drawn from the shared stream and stacked — the
     same data budget as the reference's sequential member loop, E times
-    fewer program launches.
+    fewer program launches.  ``key`` seeds dropout for dropout-bearing
+    members (folded per step); omitted, each step derives its key from
+    ``state.step`` (see ensemble_train_step).
     """
     e = jax.tree.leaves(state.params)[0].shape[0]
     steps_per_epoch = int(n_steps / batch_size)
@@ -131,11 +147,14 @@ def train_ensemble(
                 ls.append(xl)
                 rs.append(xr)
                 ys.append(y)
+            step_key = (None if key is None
+                        else jax.random.fold_in(key, state.step))
             state, loss, acc = ensemble_train_step(
                 state,
                 jnp.stack([jnp.asarray(x) for x in ls]),
                 jnp.stack([jnp.asarray(x) for x in rs]),
                 jnp.stack([jnp.asarray(x) for x in ys]),
+                key=step_key,
             )
             tl = tl + loss
             ta = ta + acc

@@ -78,6 +78,12 @@ def class_weights_from_labels(labels: jnp.ndarray) -> jnp.ndarray:
     n0 = n - n1
     w1 = n / jnp.maximum(n1, 1).astype(jnp.float32)
     w0 = n / jnp.maximum(n0, 1).astype(jnp.float32)
+    # A single-class batch has no imbalance to correct: treat the absent
+    # class as if balanced (its n/1 = n guard weight would otherwise
+    # dominate the normaliser and shrink every present-class weight to
+    # ~1/(n+1), silently near-zeroing that step's gradient).
+    w1 = jnp.where(n1 > 0, w1, w0)
+    w0 = jnp.where(n0 > 0, w0, w1)
     scale = w0 + w1
     return jnp.where(labels == 1, w1 / scale, w0 / scale)
 

@@ -62,7 +62,11 @@ class TrainState(struct.PyTreeNode):
 
     @property
     def learning_rate(self) -> float:
-        return float(self.opt_state.hyperparams["learning_rate"])
+        lr = jnp.asarray(self.opt_state.hyperparams["learning_rate"])
+        # Ensemble states (create_ensemble_state) stack the injected LR
+        # to shape (E,); members share the value, so return the first —
+        # a bare float() would raise on the stacked array.
+        return float(lr.reshape(-1)[0])
 
     def with_learning_rate(self, lr: float) -> "TrainState":
         hp = dict(self.opt_state.hyperparams)
@@ -350,11 +354,13 @@ def test_accuracy(
     outer product.  ``batch_size`` is kept for signature parity but the
     computation is one device pass.
     """
-    from alink_tpu.ops.pairwise import score_matrix_xla
+    from alink_tpu.ops.pairwise import score_matrix
 
     del batch_size
-    # SiameseHead params live inside the TrainState params tree.
-    scores = score_matrix_xla(state.params, feats, feats)
+    # SiameseHead params live inside the TrainState params tree.  The
+    # dispatcher picks the fused Pallas kernel on TPU (ops/pairwise.py)
+    # and falls back to the blocked XLA path elsewhere.
+    scores = score_matrix(state.params, feats, feats)
     pred = (scores > 0.5).astype(jnp.int32)
     same = (labels[:, None] == labels[None, :]).astype(jnp.int32)
     return float(jnp.mean((pred == same).astype(jnp.float32)))

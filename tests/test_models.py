@@ -185,6 +185,18 @@ def test_preprocess_vggface_v2():
     )
 
 
+def test_preprocess_vggface_uint8_promotes():
+    """Integer input must promote before the mean subtraction — a uint8
+    cast of the means truncates and unsigned subtraction wraps (50 - 91
+    -> 215), silently corrupting features (round-5 regression guard)."""
+    x = jnp.full((1, 2, 2, 3), 50, jnp.uint8)
+    y = preprocess.vggface(x, version=2)
+    assert jnp.issubdtype(y.dtype, jnp.floating)
+    np.testing.assert_allclose(
+        np.asarray(y)[0, 0, 0],
+        [50 - 131.0912, 50 - 103.8827, 50 - 91.4953][::-1], rtol=1e-5)
+
+
 def test_preprocess_mtcnn():
     # code/helper.py:89.
     np.testing.assert_allclose(preprocess.mtcnn(jnp.float32(127.5)), 0.0)

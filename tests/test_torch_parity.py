@@ -33,16 +33,16 @@ class TorchBottleneck(tnn.Module):
     def __init__(self, cin, f, stride=1, project=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
-        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(f, eps=1e-3)
         self.conv2 = tnn.Conv2d(f, f, 3, padding=1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn2 = tnn.BatchNorm2d(f, eps=1e-3)
         self.conv3 = tnn.Conv2d(f, 4 * f, 1, bias=False)
-        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-5)
+        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-3)
         self.project = project
         if project:
             self.conv_sc = tnn.Conv2d(cin, 4 * f, 1, stride=stride,
                                       bias=False)
-            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-5)
+            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-3)
         self.relu = tnn.ReLU()
 
     def forward(self, x):
@@ -62,7 +62,7 @@ class TorchResNet50(tnn.Module):
     def __init__(self):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=0, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-3)
         self.relu = tnn.ReLU()
         self.maxpool = tnn.MaxPool2d(3, stride=2)
         blocks = []
@@ -150,17 +150,17 @@ class TorchIRUnit(tnn.Module):
 
     def __init__(self, cin, f, stride=1):
         super().__init__()
-        self.bn0 = tnn.BatchNorm2d(cin, eps=1e-5)
+        self.bn0 = tnn.BatchNorm2d(cin, eps=2e-5)
         self.conv1 = tnn.Conv2d(cin, f, 3, padding=1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(f, eps=2e-5)
         self.prelu = tnn.PReLU(f)
         self.conv2 = tnn.Conv2d(f, f, 3, stride=stride, padding=1,
                                 bias=False)
-        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn2 = tnn.BatchNorm2d(f, eps=2e-5)
         self.project = stride != 1 or cin != f
         if self.project:
             self.conv_sc = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
-            self.bn_sc = tnn.BatchNorm2d(f, eps=1e-5)
+            self.bn_sc = tnn.BatchNorm2d(f, eps=2e-5)
 
     def forward(self, x):
         y = self.bn0(x)
@@ -181,7 +181,7 @@ class TorchArcFaceTiny(tnn.Module):
     def __init__(self, embed=32, with_fc1_bn=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 3, padding=1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(64, eps=2e-5)
         self.prelu = tnn.PReLU(64)
         units = []
         cin = 64
@@ -189,7 +189,7 @@ class TorchArcFaceTiny(tnn.Module):
             units.append(TorchIRUnit(cin, f, stride=2))
             cin = f
         self.units = tnn.ModuleList(units)
-        self.bn_out = tnn.BatchNorm2d(512, eps=1e-5)
+        self.bn_out = tnn.BatchNorm2d(512, eps=2e-5)
         self.fc = tnn.Linear(512 * 7 * 7, embed)
         self.bn_fc1 = tnn.BatchNorm1d(embed, eps=2e-5) if with_fc1_bn \
             else None
@@ -324,7 +324,7 @@ def test_arcface_ir_stage_with_identity_shortcuts_matches_torch():
         def __init__(self, embed=16):
             super().__init__()
             self.conv1 = tnn.Conv2d(3, 64, 3, padding=1, bias=False)
-            self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+            self.bn1 = tnn.BatchNorm2d(64, eps=2e-5)
             self.prelu = tnn.PReLU(64)
             units = []
             cin = 64
@@ -333,7 +333,7 @@ def test_arcface_ir_stage_with_identity_shortcuts_matches_torch():
                 units.append(TorchIRUnit(f, f, stride=1))  # identity sc
                 cin = f
             self.units = tnn.ModuleList(units)
-            self.bn_out = tnn.BatchNorm2d(512, eps=1e-5)
+            self.bn_out = tnn.BatchNorm2d(512, eps=2e-5)
             self.fc = tnn.Linear(512 * 4 * 4, embed)
 
         def forward(self, x):
@@ -403,17 +403,17 @@ class TorchSEBottleneck(tnn.Module):
         super().__init__()
         self.project = project
         self.conv1 = tnn.Conv2d(cin, f, 1, stride=stride, bias=False)
-        self.bn1 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(f, eps=1e-3)
         self.conv2 = tnn.Conv2d(f, f, 3, padding=1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(f, eps=1e-5)
+        self.bn2 = tnn.BatchNorm2d(f, eps=1e-3)
         self.conv3 = tnn.Conv2d(f, 4 * f, 1, bias=False)
-        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-5)
+        self.bn3 = tnn.BatchNorm2d(4 * f, eps=1e-3)
         self.fc1 = tnn.Linear(4 * f, 4 * f // reduction)
         self.fc2 = tnn.Linear(4 * f // reduction, 4 * f)
         if project:
             self.conv_sc = tnn.Conv2d(cin, 4 * f, 1, stride=stride,
                                       bias=False)
-            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-5)
+            self.bn_sc = tnn.BatchNorm2d(4 * f, eps=1e-3)
 
     def forward(self, x):
         y = torch.relu(self.bn1(self.conv1(x)))
@@ -430,7 +430,7 @@ class TorchSENet50(tnn.Module):
     def __init__(self):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=0, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-3)
         self.maxpool = tnn.MaxPool2d(3, stride=2)
         blocks = []
         cin = 64

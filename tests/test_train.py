@@ -74,6 +74,26 @@ class TestLosses:
             np.asarray(w), [w1 / scale] * 3 + [w0 / scale], rtol=1e-6
         )
 
+    def test_class_weights_single_class_batch(self):
+        """A single-class batch has no imbalance: every sample gets the
+        balanced weight 0.5 (regression: the absent class's n/1 guard
+        weight dominated the normaliser and shrank the present-class
+        weights to ~1/(n+1), near-zeroing that step's gradient)."""
+        for labels in (jnp.zeros(8, jnp.int32), jnp.ones(8, jnp.int32)):
+            w = class_weights_from_labels(labels)
+            np.testing.assert_allclose(np.asarray(w), 0.5, rtol=1e-6)
+
+    def test_ensemble_learning_rate_property(self):
+        """TrainState.learning_rate works on ensemble states whose
+        vmapped opt_state stacks the injected LR to shape (E,)."""
+        from alink_tpu.models import SiameseHead
+
+        head = SiameseHead(widths=(8, 4), dtype=jnp.float32)
+        state = T.create_ensemble_state(
+            head, jax.random.PRNGKey(0), 3,
+            jnp.zeros((2, D)), jnp.zeros((2, D)), learning_rate=0.25)
+        assert state.learning_rate == 0.25
+
     def test_weighted_loss_normalisation(self):
         """Keras 2 weighted form: mean(loss * w) / mean(w != 0) — the
         loss genuinely scales with uniform weights (training_utils.py's
@@ -285,6 +305,43 @@ class TestEnsembleTraining:
         probs = com.predict(l, r)
         acc = np.mean(np.argmax(np.asarray(probs), -1) == np.asarray(y))
         assert acc > 0.7
+
+    def test_dropout_members_train_with_dropout(self):
+        """ensemble_train_step must thread train=True + per-member dropout
+        keys into dropout-bearing members (regression: the step trained
+        every member deterministically, silently skipping dropout)."""
+        import flax.linen as nn
+
+        class DropHead(nn.Module):
+            @nn.compact
+            def logits(self, left, right, *, train=False):
+                x = jnp.abs(left - right)
+                x = nn.Dense(8)(x)
+                x = nn.Dropout(0.5, deterministic=not train)(x)
+                return nn.Dense(2)(x)
+
+            def __call__(self, left, right, *, train=False, rngs=None):
+                return jax.nn.softmax(
+                    self.logits(left, right, train=train), axis=-1)
+
+        state = T.create_ensemble_state(
+            DropHead(), jax.random.PRNGKey(0), 2,
+            jnp.zeros((2, D)), jnp.zeros((2, D)),
+        )
+        l, r, y = _toy_pairs(jax.random.PRNGKey(1), 16)
+        batch = (jnp.stack([l, l]), jnp.stack([r, r]), jnp.stack([y, y]))
+        s_a, _, _ = T.ensemble_train_step(state, *batch,
+                                          key=jax.random.PRNGKey(7))
+        s_b, _, _ = T.ensemble_train_step(state, *batch,
+                                          key=jax.random.PRNGKey(8))
+        s_a2, _, _ = T.ensemble_train_step(state, *batch,
+                                           key=jax.random.PRNGKey(7))
+        ka = jax.tree.leaves(s_a.params)[0]
+        kb = jax.tree.leaves(s_b.params)[0]
+        ka2 = jax.tree.leaves(s_a2.params)[0]
+        # Different dropout keys -> different gradients; same key -> same.
+        assert not np.allclose(np.asarray(ka), np.asarray(kb))
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(ka2))
 
     @pytest.mark.slow
     def test_per_member_batches(self):
