@@ -309,6 +309,10 @@ class ALinkLoop:
         if self._chunk_jit is None:
             self._trace_logits_fn = lf
             self._chunk_jit = jax.jit(self._chunk_impl)
+        # NOTE: deliberately NOT blocked — chunks pipeline their async
+        # dispatch (probabilities stay device-resident; one fetch at
+        # selection), so "chunk" records dispatch time and the device
+        # cost lands in "select"'s first fetch.
         with self.timings.phase("chunk"):
             return self._chunk_jit(self.state.m2_state.params,
                                    self.committee.params,
@@ -496,7 +500,7 @@ class ALinkLoop:
                         ls, rs, pseudo[k * mp:(k + 1) * mp])
             if self.state.buffer_size() >= cfg.batch_send:
                 finetuned = True
-                with self.timings.phase("finetune"):
+                with self.timings.phase("finetune") as ph:
                     # Clean raw pairs only for the queried rows (device
                     # gather from the resident pool).  The queried count
                     # varies every round, and it sets the input shape of
@@ -515,6 +519,9 @@ class ALinkLoop:
                     qr = pool[jnp.asarray(right_idx_pad[qidx])].astype(
                         jnp.float32)
                     self._finetune(ql, qr, pseudo, valid=q)
+                    # Charge the async-dispatched training step to THIS
+                    # phase, not whichever phase fetches next.
+                    ph.block_on(self.state.m2_state.params)
 
         log = IterationLog(
             iteration=len(self.logs),

@@ -130,11 +130,16 @@ def balanced_pair_batches(
     """Infinite 1:1-balanced pair batch stream (readDFW.py:180-209).
 
     Yields ``((left, right), labels)`` with exactly ``batch_size // 2``
-    genuine and imposter pairs each.  Streams mirror the driver wiring
+    genuine and imposter pairs each — an ODD batch_size therefore yields
+    ``batch_size - 1`` pairs per batch.  Streams mirror the driver wiring
     (ALINK.py:115-118): genuine from within-person draws of ``normal`` and
     (when given) within-folder draws of ``imp``; imposter from cross-person
     ``normal`` pairs, cross-folder ``imp`` pairs, and ``normal x imp``.
     """
+    if batch_size < 2:
+        raise ValueError(
+            f"balanced_pair_batches needs batch_size >= 2 (one genuine + "
+            f"one imposter pair); got {batch_size}")
     rng = np.random.default_rng(seed)
     half = batch_size // 2
     use_imp = imp is not None and int(np.sum(imp.counts > 0)) > 0

@@ -616,7 +616,7 @@ def profile_cascade(
                          else jnp.zeros((), jnp.int32))
         b, s, v = _stage1(params, img, cfg, h, w)
         c1 = jnp.sum(v)
-        b, s, v = _stage2(params, img, b, s, v, cfg)
+        b, s, v = _stage2(params, img, b, v, cfg)
         c2 = jnp.sum(v)
         _, _, v, _ = _stage3(params, img, b, s, v, cfg)
         return scale_raw_max, c1, c2, jnp.sum(v)

@@ -36,6 +36,15 @@ def add_config_flags(parser: argparse.ArgumentParser, config_cls) -> None:
         if isinstance(default, bool):
             parser.add_argument(f"--{field.name}", type=lambda s: s.lower()
                                 in ("1", "true", "yes"), default=default)
+        elif field.name == "device_batch":
+            # Declared ``int | str``: accepts an int or the literal
+            # "auto" (the dispatch-latency probe, config.py) — a plain
+            # int(default) type would make "auto" unreachable from the
+            # CLI.
+            parser.add_argument(
+                "--device_batch",
+                type=lambda s: s if s == "auto" else int(s),
+                default=default)
         elif isinstance(default, (int, float, str)):
             parser.add_argument(f"--{field.name}", type=type(default),
                                 default=default)
@@ -135,8 +144,12 @@ def run_alink(
     )
 
     # Framework loop (ALINK.py:145-259).
+    # Both model-backed channels (DE one-pixel AND fgsm) need the
+    # end-to-end predict fn — gating on "adversarial" alone would crash
+    # Committee.attack_model on the first selection round of an
+    # fgsm-only bank.
     adv = (make_adversarial_predict(featurize)
-           if "adversarial" in config.noise else None)
+           if {"adversarial", "fgsm"} & set(config.noise) else None)
     loop_key = next(keys)
 
     def attempt(attempt_idx: int) -> ALinkState:

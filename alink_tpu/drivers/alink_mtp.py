@@ -165,8 +165,9 @@ def run_alink_mtp(
         student_is_head=False,
         student_res=(config.low_res, config.low_res),
         replay_gen=replay,
-        adversarial_predict=(adversarial_predict
-                             if "adversarial" in config.noise else None),
+        adversarial_predict=(
+            adversarial_predict
+            if {"adversarial", "fgsm"} & set(config.noise) else None),
         pair_builder=lambda plain, _dig: mtp_all_pairs_index(plain),
         key=next(keys),
     )

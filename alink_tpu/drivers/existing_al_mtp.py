@@ -43,7 +43,10 @@ def run_existing_al_mtp(
 
     state = make_smallres_state(next(keys), config)
     raw_gen = balanced_pair_batches(config.seed, lo, None, config.batch_size)
-    gen = (((preprocess.smallres(le), preprocess.smallres(r)), y)
+    # One preprocessed stream for BOTH pretraining and the query rounds —
+    # a second hand-applied smallres path could silently drift.
+    gen = (((preprocess.smallres(jnp.asarray(le)),
+             preprocess.smallres(jnp.asarray(r))), y)
            for (le, r), y in raw_gen)
 
     params, ok = T.maybe_restore(config.lowres_basemodel, state.params)
@@ -60,9 +63,7 @@ def run_existing_al_mtp(
                             key=next(keys), epochs=config.ft_epochs,
                             batch_size=min(64, config.batch_size))
     for _ in range(n_rounds):
-        (left, right), y = next(raw_gen)
-        left = preprocess.smallres(jnp.asarray(left))
-        right = preprocess.smallres(jnp.asarray(right))
+        (left, right), y = next(gen)
         idx = learner.query(left, right,
                             n_instances=max(1, len(y) // 10))
         learner.teach(left[idx], right[idx], jnp.asarray(y)[idx],

@@ -16,6 +16,7 @@ Here the matrix comes from the fused pairwise engine
 """
 
 from alink_tpu.evaluation.roc import (  # noqa: F401
+    CASE_NAMES,
     EvalStats,
     gar_at_far,
     masked_scores,

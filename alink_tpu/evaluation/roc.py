@@ -30,6 +30,11 @@ GENUINE_OBFUSCATION = 2
 IMPOSTER_IMPERSONATION = 3
 IMPOSTER_OBFUSCATION = 4
 
+# Case-code -> human label (create_figure_3.m's three reported cases);
+# the single authoritative mapping — tools import it rather than
+# re-declaring.
+CASE_NAMES = {1: "impersonation", 2: "obfuscation", 3: "overall"}
+
 _CASES = {
     1: ((GENUINE_IMPERSONATION,), (IMPOSTER_IMPERSONATION,)),
     2: ((GENUINE_OBFUSCATION,), (IMPOSTER_OBFUSCATION,)),

@@ -61,11 +61,13 @@ def generate_bbox(
 
 
 def calibrate_box(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
-    """Apply regression offsets scaled by box size (mtcnn_detector.py:96-119)."""
+    """Apply regression offsets scaled by box size (mtcnn_detector.py:96-119).
+
+    ``boxes``: (K, 4).  The identical arithmetic serves the first-stage
+    refinement too (``refine_with_reg`` is an alias)."""
     w = (boxes[:, 2] - boxes[:, 0] + 1.0)[:, None]
     h = (boxes[:, 3] - boxes[:, 1] + 1.0)[:, None]
-    aug = jnp.concatenate([w, h, w, h], axis=1) * reg
-    return boxes.at[:, 0:4].set(boxes[:, 0:4] + aug)
+    return boxes + jnp.concatenate([w, h, w, h], axis=1) * reg
 
 
 def convert_to_square(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -94,11 +96,9 @@ def clip_to_image(boxes: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
 
 
 def refine_with_reg(boxes: jnp.ndarray, reg5678: jnp.ndarray) -> jnp.ndarray:
-    """First-stage refinement (mtcnn_detector.py:381-390): box + reg * size."""
-    bw = (boxes[:, 2] - boxes[:, 0] + 1.0)[:, None]
-    bh = (boxes[:, 3] - boxes[:, 1] + 1.0)[:, None]
-    scale = jnp.concatenate([bw, bh, bw, bh], axis=1)
-    return boxes + reg5678 * scale
+    """First-stage refinement (mtcnn_detector.py:381-390): box + reg * size
+    — the same arithmetic as R/O-Net calibration, one implementation."""
+    return calibrate_box(boxes, reg5678)
 
 
 def select_topk(

@@ -102,9 +102,19 @@ def score_matrix_xla(
     cols: jnp.ndarray,
     *,
     row_block: int = 128,
-    col_block: int = 512,
+    col_block: int | None = None,
 ) -> jnp.ndarray:
-    """Blocked XLA all-pairs scorer: (N, D) x (M, D) -> (N, M) P(genuine)."""
+    """Blocked XLA all-pairs scorer: (N, D) x (M, D) -> (N, M) P(genuine).
+
+    ``col_block`` defaults adaptively: the mapped body materialises a
+    (row_block, col_block, D) |l - r| tile, so the default bounds it at
+    ~2^26 elements (~128 MB bf16) — 512 columns for typical feature
+    widths, automatically narrower in the wide-feature fallback regime
+    this path exists for (e.g. VGG16's 25088-d pool5 features, where a
+    512-column tile would be 3.3 GB).
+    """
+    if col_block is None:
+        col_block = max(8, min(512, (1 << 26) // (row_block * rows.shape[1])))
     layers = head_weights(params)
     n, m = rows.shape[0], cols.shape[0]
     rows_p = _pad_to(rows, row_block)
@@ -279,6 +289,19 @@ def score_matrix(params, rows, cols, *, on_tpu: bool | None = None,
         on_tpu = jax.default_backend() == "tpu"
     layers = head_weights(params)
     if on_tpu and len(layers) == 3 and rows.shape[1] <= _PALLAS_MAX_D:
+        rb = kwargs.get("row_block", 8)
+        cb = kwargs.get("col_block", 256)
+        if rb * cb > 4096:
+            # Block sizes are PER-BACKEND tuning: the XLA path's
+            # defaults (128, 512) describe an HBM tile, but here they
+            # would size the kernel's VMEM slab+accumulator past the
+            # ~16 MB budget and die inside Mosaic.  Fail with the
+            # contract instead.
+            raise ValueError(
+                f"row_block*col_block = {rb}*{cb} exceeds the fused "
+                "kernel's VMEM budget (<= 4096 pairs/tile); block "
+                "sizes are per-backend — call score_matrix_pallas/"
+                "score_matrix_xla directly to tune one backend")
         return score_matrix_pallas(params, rows, cols, **kwargs)
     kwargs.pop("d_chunk", None)
     kwargs.pop("interpret", None)  # pallas-only knob

@@ -124,13 +124,17 @@ def global_batch_from_local(mesh: Mesh, local_batch) -> jax.Array:
         sharding, local_batch, global_shape)
 
 
-def process_shard(n: int) -> slice:
-    """Row range of a length-``n`` dataset this process should load.
+def process_shard(n: int) -> np.ndarray:
+    """Row indices of a length-``n`` dataset this process should load.
 
-    The A-LINK pool / replay sharding for multi-host runs: process p of
-    P loads rows [p*n//P, (p+1)*n//P) — file listing is deterministic,
-    so no coordination is needed (SURVEY.md section 2.4's "cross-slice
-    replay sharding").
+    The A-LINK pool / replay sharding for multi-host runs: file listing
+    is deterministic, so no coordination is needed (SURVEY.md section
+    2.4's "cross-slice replay sharding").  Every process gets EXACTLY
+    ``ceil(n / P)`` rows — ``global_batch_from_local`` requires equal
+    local shapes on every process, so when P does not divide n the tail
+    processes wrap around to the front rows (deterministic duplication,
+    never truncation: every dataset row is owned by some process).
     """
     p, count = jax.process_index(), jax.process_count()
-    return slice(p * n // count, (p + 1) * n // count)
+    q = -(-n // count)
+    return (p * q + np.arange(q)) % n

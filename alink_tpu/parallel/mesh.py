@@ -58,6 +58,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_axis0(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Zero-pad the leading axis up to a multiple of ``multiple`` — the
+    one padding policy every parallel path shares (shard_batch,
+    parallel.ops); change it here, not in per-site copies."""
+    pad = (-x.shape[0]) % multiple
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place every array leaf batch-sharded on the mesh, padding the leading
     axis up to a multiple of the data-axis size if needed.
@@ -70,11 +80,7 @@ def shard_batch(mesh: Mesh, tree):
     axis = mesh.shape[DATA_AXIS]
 
     def _place(x):
-        x = jnp.asarray(x)
-        n = x.shape[0]
-        pad = (-n) % axis
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        x = pad_axis0(jnp.asarray(x), axis)
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     def _len(x):

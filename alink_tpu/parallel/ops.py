@@ -23,15 +23,11 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_axis0
 
 
 def _pad_batch(x: jnp.ndarray, multiple: int) -> tuple[jnp.ndarray, int]:
-    n = x.shape[0]
-    pad = (-n) % multiple
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-    return x, n
+    return pad_axis0(x, multiple), x.shape[0]
 
 
 def sharded_featurize(

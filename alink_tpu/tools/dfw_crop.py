@@ -72,6 +72,11 @@ def crop_all_folders(prefix: str, train_folder: str, box_map: dict,
     root = os.path.join(prefix, train_folder)
     problems = 0
     for person in sorted(os.listdir(root)):
+        # Skip stray regular files (.DS_Store, misplaced box files) —
+        # same guard as data/manifest.scan_dfw; one such entry must not
+        # abort a staging run that has already cropped in place.
+        if not os.path.isdir(os.path.join(root, person)):
+            continue
         problems += crop_images(prefix, os.path.join(train_folder, person),
                                 box_map, out_prefix, delete_bad)
     print("Problem with", problems)

@@ -48,7 +48,7 @@ from alink_tpu.evaluation.roc import masked_scores
 from alink_tpu.tools.generate_matrix import restore_head_and_score
 from alink_tpu.tools.generate_predictions import generate_predictions
 
-_CASES = {1: "impersonation", 2: "obfuscation", 3: "overall"}
+from alink_tpu.evaluation.roc import CASE_NAMES as _CASES
 
 
 def evaluate_stage(
@@ -308,7 +308,11 @@ def run_eval_regression(
             "m2_n_steps": m2_n_steps,
             "dig_epochs": dig_epochs,
             "undig_epochs": undig_epochs,
-            "loop_overrides": dict(loop_overrides or {}),
+            # The EFFECTIVE override set (baked-in demo-regime values
+            # merged with caller overrides) — recording only the
+            # caller's dict would hide seven knobs that differ from the
+            # ALinkConfig defaults.
+            "loop_overrides": dict(overrides),
             "seed": seed,
             "mask_pairs_scored": int(np.count_nonzero(
                 np.triu(mask, 1))),

@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-_CASES = {1: "impersonation", 2: "obfuscation", 3: "overall"}
+from alink_tpu.evaluation import CASE_NAMES as _CASES
 
 
 def evaluate_scores(scores: np.ndarray, mask: np.ndarray, roc_case: int,

@@ -26,14 +26,34 @@ class Timings:
 
     @contextlib.contextmanager
     def phase(self, name: str, block_on=None):
-        """Time a phase; ``block_on`` (array/pytree) is waited on before
-        the clock stops so async-dispatched device work is counted."""
+        """Time a phase.
+
+        JAX dispatch is async: without a wait, a phase that launches a
+        multi-second device program is charged milliseconds and the cost
+        lands on whichever later phase first fetches a result.  Two ways
+        to count device work correctly:
+
+        - arrays that exist BEFORE the block: pass ``block_on=...``;
+        - arrays produced INSIDE the block: the yielded handle —
+          ``with t.phase("x") as ph: out = f(); ph.block_on(out)`` —
+          registers them to be waited on before the clock stops.
+        """
+        pending = []
+
+        class _Handle:
+            @staticmethod
+            def block_on(tree):
+                pending.append(tree)
+                return tree
+
         start = time.perf_counter()
         try:
-            yield
+            yield _Handle()
         finally:
             if block_on is not None:
                 jax.block_until_ready(block_on)
+            for tree in pending:
+                jax.block_until_ready(tree)
             self.totals[name] += time.perf_counter() - start
             self.counts[name] += 1
 

@@ -167,8 +167,15 @@ class Heartbeat:
         if self._first_beat is None:
             self._first_beat = time.time()
         path = self._path(self.process_id)
-        with open(path, "w") as f:
+        # Write-temp + rename: open(path, "w") would truncate in place,
+        # and a peer's racing read of the empty file at exactly the
+        # barrier deadline would count this live process as missing.
+        # rename() is atomic on POSIX, so readers see the old beacon or
+        # the new one, never a partial/empty file.
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             f.write(self.session)
+        os.replace(tmp, path)
         os.utime(path, None)
 
     def last_seen(self, pid: int) -> float | None:

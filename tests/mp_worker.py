@@ -55,9 +55,11 @@ def main() -> None:
     expect = sum(4 * 3 * (p + 1) for p in range(nproc))
     assert total == expect, (total, expect)
 
-    # Deterministic pool sharding: shards tile the dataset exactly.
+    # Deterministic pool sharding: equal-size shards tile the dataset.
     sl = distributed.process_shard(10)
-    assert (sl.stop - sl.start) in (5,)  # 2 processes -> 5 rows each
+    assert len(sl) == 5  # 2 processes -> 5 rows each
+    # Equal local shapes even when P does not divide n (wrap-around).
+    assert len(distributed.process_shard(9)) == 5
 
     hb = Heartbeat(hb_dir, pid, nproc)
     hb.beat()
