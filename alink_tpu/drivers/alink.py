@@ -29,21 +29,31 @@ from alink_tpu.drivers import common
 from alink_tpu.ops.pairwise import pair_scores
 
 
+def _is_int_or_str(annotation) -> bool:
+    """True for an ``int | str`` (or ``Union[int, str]``) annotation."""
+    import typing
+
+    return {int, str} <= set(typing.get_args(annotation))
+
+
 def add_config_flags(parser: argparse.ArgumentParser, config_cls) -> None:
     """argparse flags from the config dataclass (names match ALINK.py:37-62)."""
+    import typing
+
+    hints = typing.get_type_hints(config_cls)
     for field in dataclasses.fields(config_cls):
         default = field.default
         if isinstance(default, bool):
             parser.add_argument(f"--{field.name}", type=lambda s: s.lower()
                                 in ("1", "true", "yes"), default=default)
-        elif field.name == "device_batch":
-            # Declared ``int | str``: accepts an int or the literal
-            # "auto" (the dispatch-latency probe, config.py) — a plain
-            # int(default) type would make "auto" unreachable from the
-            # CLI.
+        elif _is_int_or_str(hints.get(field.name)):
+            # Declared ``int | str`` (e.g. device_batch): accepts an int
+            # or a literal keyword such as "auto" (the dispatch-latency
+            # probe, config.py) — a plain int(default) type would make
+            # the keyword unreachable from the CLI.
             parser.add_argument(
-                "--device_batch",
-                type=lambda s: s if s == "auto" else int(s),
+                f"--{field.name}",
+                type=lambda s: int(s) if s.lstrip("-").isdigit() else s,
                 default=default)
         elif isinstance(default, (int, float, str)):
             parser.add_argument(f"--{field.name}", type=type(default),

@@ -43,7 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+# pad_axis0 is the one leading-axis padding policy (parallel/mesh.py):
+# used here both for kernel block tiling (padded rows are sliced off the
+# output) and for score_matrix_sharded's device-multiple padding.
+from alink_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_axis0 as _pad_to
 
 
 def head_weights(params) -> tuple[tuple[jnp.ndarray, jnp.ndarray], ...]:
@@ -86,13 +89,6 @@ def pair_scores(params, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """
     layers = head_weights(params)
     return _apply_head(jnp.abs(left - right), layers)
-
-
-def _pad_to(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    pad = (-x.shape[0]) % multiple
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-    return x
 
 
 @partial(jax.jit, static_argnames=("row_block", "col_block"))
@@ -290,7 +286,9 @@ def score_matrix(params, rows, cols, *, on_tpu: bool | None = None,
     layers = head_weights(params)
     if on_tpu and len(layers) == 3 and rows.shape[1] <= _PALLAS_MAX_D:
         rb = kwargs.get("row_block", 8)
-        cb = kwargs.get("col_block", 256)
+        cb = kwargs.get("col_block") or 256  # None = "adaptive" (XLA-only
+        # semantics) — the fused kernel takes its own default instead.
+        kwargs["col_block"] = cb
         if rb * cb > 4096:
             # Block sizes are PER-BACKEND tuning: the XLA path's
             # defaults (128, 512) describe an HBM tile, but here they

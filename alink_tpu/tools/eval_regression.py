@@ -210,7 +210,9 @@ def run_eval_regression(
         arm_committee = Committee(committee.head, committee.params,
                                   noise_names=tuple(noise_names))
         kw = {}
-        if "adversarial" in noise_names:
+        # Both model-backed channels (DE one-pixel AND fgsm) need the
+        # end-to-end predict fn — same gating as drivers/alink.py.
+        if {"adversarial", "fgsm"} & set(noise_names):
             kw["adversarial_predict"] = make_adversarial_predict(featurize)
             kw["adversarial_kwargs"] = dict(
                 adversarial_kwargs

@@ -71,6 +71,7 @@ def ensemble_train_step(
     left: jnp.ndarray,
     right: jnp.ndarray,
     labels: jnp.ndarray,
+    *,
     key: jax.Array | None = None,
     weighted: bool = True,
 ) -> tuple[TrainState, jnp.ndarray, jnp.ndarray]:
