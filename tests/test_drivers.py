@@ -65,6 +65,12 @@ class TestFlagParsing:
         with pytest.raises(ValueError):
             parse_config(["--eps", "0.7"])
 
+    def test_device_batch_int_or_auto(self):
+        # int|str fields dispatch on the declared annotation (review
+        # fix): ints parse as ints, the "auto" keyword survives as str.
+        assert parse_config(["--device_batch", "auto"]).device_batch == "auto"
+        assert parse_config(["--device_batch", "128"]).device_batch == 128
+
     def test_embed_depth_validated(self):
         cfg = parse_config(["--embed_depth", "50"],
                            config_cls=ALinkArcConfig)

@@ -70,6 +70,20 @@ def test_feature_padding_is_exact(head_and_params):
     assert jnp.max(jnp.abs(a - b)) < 1e-5
 
 
+def test_dispatcher_accepts_adaptive_col_block(head_and_params, feats):
+    """col_block=None (score_matrix_xla's adaptive default) must route
+    through BOTH dispatcher branches without a TypeError (review fix:
+    the pallas VMEM guard used to multiply None)."""
+    _, params = head_and_params
+    rows, cols = feats
+    xla = pairwise.score_matrix(params, rows, cols, on_tpu=False,
+                                col_block=None)
+    pls = pairwise.score_matrix(params, rows, cols, on_tpu=True,
+                                col_block=None, interpret=True)
+    assert xla.shape == pls.shape == (37, 53)
+    assert jnp.max(jnp.abs(xla - pls)) < 2e-2
+
+
 def test_sharded_matches_single(head_and_params, feats, mesh8):
     _, params = head_and_params
     rows, cols = feats
