@@ -118,9 +118,12 @@ class ALinkLoop:
             where M1 and M2 share the backbone (ALINK.py:167).  ``None``
             feeds raw pixels resized to ``student_res`` — the MTP
             cross-resolution student (ALINK_MTP.py:164-165, 222).
-        student_res: resolution noisy pairs are resized to before the
-            student sees them (IMAGERES in ALINK.py:164; lowRes in MTP).
-            Defaults to ``config.image_res``.
+        student_res: ``(h, w)`` resolution noisy pairs are resized to
+            before the student sees them (IMAGERES in ALINK.py:164;
+            lowRes in MTP).  Defaults to ``config.image_res`` flipped —
+            the config field follows the loader's cv2 ``(w, h)``
+            convention (data/loader.py:66) while this (and ops.image.
+            resize) is array-shaped ``(h, w)``.
         replay_gen: iterator of ``((left, right), y)`` clean batches in the
             *student's input space* for forgetting mitigation (the
             ``dataGen`` mixed in at ALINK.py:233-239).
@@ -187,7 +190,8 @@ class ALinkLoop:
         self.student_is_head = student_is_head
         self.student_res = (
             tuple(student_res) if student_res is not None
-            else tuple(config.image_res)
+            # config.image_res is cv2 (w, h); resize wants (h, w).
+            else (config.image_res[1], config.image_res[0])
         )
         self.committee = committee
         self.replay_gen = replay_gen
@@ -205,6 +209,10 @@ class ALinkLoop:
         self._chunk_jit = None  # built lazily; see _process_chunk
         self._replay_consumed = 0  # batches served by replay_gen (resume)
         self.logs: list[IterationLog] = []
+        # Iterations completed before the last restore(): keeps resumed
+        # IterationLog.iteration indices continuing the interrupted run's
+        # metrics stream instead of colliding with its records at 0..N.
+        self._iteration_offset = 0
         # Per-phase wall-clock accounting (SURVEY.md section 5.1 — the
         # reference has no tracing at all); read loop.timings.report().
         self.timings = Timings()
@@ -347,6 +355,11 @@ class ALinkLoop:
             else:
                 pool = jnp.asarray(np.pad(pool_np, pad))
         n = len(y)
+        if n == 0:
+            raise ValueError(
+                "pair_builder produced an empty slab (0 pairs) — every "
+                "slab part must contribute at least one person with "
+                "images (check the manifest scan / part boundaries)")
         self.state.un_size += n  # ALINK.py:154
 
         # Device work runs over fixed-size pair chunks so HBM use is
@@ -467,6 +480,10 @@ class ALinkLoop:
                 blind_strategy=cfg.blind_strategy,
                 eps=cfg.eps,
                 valid=jnp.asarray(valid_np),
+                # Host-exact take count (float64 int(n*ratio), the
+                # reference's ALINK.py:181 semantics) as a traced scalar
+                # so the padded program's shape stays n-independent.
+                k_take=jnp.asarray(int(n * cfg.disparity_ratio), jnp.int32),
             )
         # All of the round's small selection outputs come back in ONE
         # packed host transfer (round trips, not bytes, dominate here).
@@ -524,7 +541,7 @@ class ALinkLoop:
                     ph.block_on(self.state.m2_state.params)
 
         log = IterationLog(
-            iteration=len(self.logs),
+            iteration=self._iteration_offset + len(self.logs),
             pairs=n,
             selected=selected_count,
             queried=int(queried.size),
@@ -645,7 +662,9 @@ class ALinkLoop:
                    "opt_state": s.m2_state.opt_state})
         loop_tree = {
             "counters": np.array([s.active_count, s.un_size, s.pool_cursor,
-                                  s.replay_draws], np.int64),
+                                  s.replay_draws,
+                                  self._iteration_offset + len(self.logs)],
+                                 np.int64),
             # RNG state: restoring it makes a resumed run reproduce the
             # uninterrupted trajectory exactly (noise draws, augmentation,
             # dropout keys all derive from self.key).
@@ -690,6 +709,13 @@ class ALinkLoop:
             # persist 0 and a later properly-configured resume would
             # fast-forward past nothing — silent trajectory divergence).
             s.replay_draws = int(counters[3])
+        if counters.shape[0] > 4:
+            # Resumed IterationLog indices continue the interrupted
+            # run's metrics stream: the next iteration logged is exactly
+            # the checkpoint's completed count, even if this loop object
+            # already has in-process logs from a divergent path (older
+            # checkpoints lack the field and keep restart-at-0).
+            self._iteration_offset = int(counters[4]) - len(self.logs)
         if counters.shape[0] > 3 and self.replay_gen is not None:
             # Fast-forward a (deterministic) replay generator to the
             # position the interrupted run had consumed — without this a

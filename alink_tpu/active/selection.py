@@ -43,6 +43,7 @@ def disparity_masks(
     disparity_ratio: float,
     blind_strategy: bool,
     valid: jnp.ndarray | None = None,
+    k_take: jnp.ndarray | int | None = None,
 ) -> jnp.ndarray:
     """Per-noise selection masks (ALINK.py:171-184).
 
@@ -72,8 +73,13 @@ def disparity_masks(
     if valid is None:
         k_take = int(n * disparity_ratio)
     else:
-        k_take = (jnp.sum(valid).astype(jnp.float32)
-                  * disparity_ratio).astype(jnp.int32)
+        if k_take is None:
+            # Device fallback: f32 product — can differ by one from the
+            # float64 int(n * ratio) at representation boundaries (e.g.
+            # n=3, ratio=1/3); callers who know the real row count on the
+            # host should pass the exact ``int(n * ratio)`` as k_take.
+            k_take = (jnp.sum(valid).astype(jnp.float32)
+                      * disparity_ratio).astype(jnp.int32)
         disparity = jnp.where(valid[None, :], disparity, -jnp.inf)
     # Reference: argsort of -|c1-c2| ascending, first k => largest first.
     order = jnp.argsort(-disparity, axis=1)
@@ -114,13 +120,17 @@ def select_queries(
     blind_strategy: bool,
     eps: float,
     valid: jnp.ndarray | None = None,
+    k_take: jnp.ndarray | None = None,
 ) -> SelectionResult:
     """The full selection block (ALINK.py:171-204) in one device pass.
 
     ``valid``: optional (N,) bool padding mask — see ``disparity_masks``;
-    padding rows are never selected, queried, or charged."""
+    padding rows are never selected, queried, or charged.
+    ``k_take``: optional precomputed take count (a traced scalar is fine)
+    — pass the host-exact ``int(real_rows * ratio)`` for bit-identical
+    reference take-count semantics on the padded path."""
     masks = disparity_masks(student_probs, committee_probs, disparity_ratio,
-                            blind_strategy, valid=valid)
+                            blind_strategy, valid=valid, k_take=k_take)
     selected = intersect_masks(masks)
     queried, charges = oracle_gate(selected, committee_probs, oracle_labels,
                                    eps)

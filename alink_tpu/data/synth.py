@@ -18,6 +18,10 @@ import os
 import numpy as np
 from PIL import Image
 
+# The scanner's qualifying-capture filter (readMTP.py:9-14) is the single
+# source of truth — the MTP fixture must stay in sync with scan_mtp.
+from alink_tpu.data.manifest import _MTP_SUFFIXES
+
 
 def _person_image(rng, base: np.ndarray, noise: float) -> np.ndarray:
     img = base + rng.normal(0.0, noise * 255.0, base.shape)
@@ -71,12 +75,7 @@ def make_synthetic_mtp(
     returns ``root``."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
-    suffixes = (
-        "01_01_051_06.png",
-        "02_01_051_06.png",
-        "01_01_051_08.png",
-        "02_01_051_08.png",
-    )
+    suffixes = _MTP_SUFFIXES
     for subject in range(1, num_subjects + 1):
         base = rng.uniform(0, 255, (image_size, image_size, 3))
         for suffix in suffixes:

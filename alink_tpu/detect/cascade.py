@@ -568,7 +568,14 @@ def detect_faces_limited(
     """
     def single(img, b, v):
         b2, s2, v2 = _stage2(params, img, b, v, cfg)
-        return _stage3(params, img, b2, s2, v2, cfg)
+        b3, s3, v3, lmk = _stage3(params, img, b2, s2, v2, cfg)
+        # The limited path refines landmarks too (mtcnn_detector.py:264
+        # sits inside detect_face_limited), same as the full cascade.
+        if cfg.accurate_landmark:
+            if params.lnet is None:
+                raise ValueError("accurate_landmark requires lnet params")
+            lmk = _refine_landmarks(params, img, b3, lmk)
+        return b3, s3, v3, lmk
 
     bb, ss, vv, lmk = jax.vmap(single)(images, boxes, valid)
     return Detections(boxes=bb, scores=ss, landmarks=lmk, valid=vv)
